@@ -1,0 +1,165 @@
+"""Dense image warping and resize kernels.
+
+Re-designs of reference ``src/utils/frame_utils.py``:
+  * ``warp_image_forward`` (``frame_utils.py:56-89``): grid_sample with
+    ``align_corners=True`` and zero padding → explicit 4-corner gather here.
+  * ``warp_image_torch`` global shift (``frame_utils.py:92-115``).
+  * torchvision bilinear ``resize`` (used by the patch → dense interpolation,
+    ``patch_eklt.py:173-204``) → half-pixel (align_corners=False) sampling,
+    expressed as two dense matmuls so the MXU does the interpolation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "sample_bilinear",
+    "warp_image_forward",
+    "warp_image_shift",
+    "resize_matrix",
+    "resize_bilinear",
+    "pad_to_same_resolution",
+    "pad_to_same_resolution_center",
+    "standardize_image_minmax",
+    "standardize_image_center",
+    "range_norm",
+]
+
+
+def sample_bilinear(image: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """Bilinear sample ``image[rows, cols]`` with zeros outside the frame.
+
+    Matches ``torch.nn.functional.grid_sample(mode='bilinear',
+    padding_mode='zeros', align_corners=True)`` on unnormalized coordinates:
+    each out-of-bounds corner contributes zero.
+    """
+    h, w = image.shape[-2:]
+    r0 = jnp.floor(rows)
+    c0 = jnp.floor(cols)
+    dr = rows - r0
+    dc = cols - c0
+    out = jnp.zeros(jnp.broadcast_shapes(rows.shape, cols.shape), image.dtype)
+    for rr, cc, wgt in (
+        (r0, c0, (1 - dr) * (1 - dc)),
+        (r0 + 1, c0, dr * (1 - dc)),
+        (r0, c0 + 1, (1 - dr) * dc),
+        (r0 + 1, c0 + 1, dr * dc),
+    ):
+        inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+        ri = jnp.clip(rr.astype(jnp.int32), 0, h - 1)
+        ci = jnp.clip(cc.astype(jnp.int32), 0, w - 1)
+        out = out + jnp.where(inb, image[..., ri, ci] * wgt, 0.0)
+    return out
+
+
+def warp_image_forward(image: jax.Array, flow: jax.Array) -> jax.Array:
+    """Warp an image by a dense forward flow: ``out[x, y] = im[x-fx, y-fy]``.
+
+    Parity: ``frame_utils.warp_image_forward`` (``frame_utils.py:56-89``)
+    — the generative model's per-pixel pattern-translation warp.
+
+    Args:
+        image: ``[H, W]``.
+        flow: ``[2, H, W]`` (row displacement, col displacement).
+    """
+    h, w = image.shape[-2:]
+    gr, gc = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype),
+                          jnp.arange(w, dtype=flow.dtype), indexing="ij")
+    return sample_bilinear(image, gr - flow[0], gc - flow[1])
+
+
+def warp_image_shift(image: jax.Array, shift: jax.Array) -> jax.Array:
+    """Warp by a global 2-vector translation (``frame_utils.py:92-115``)."""
+    h, w = image.shape[-2:]
+    gr, gc = jnp.meshgrid(jnp.arange(h, dtype=image.dtype),
+                          jnp.arange(w, dtype=image.dtype), indexing="ij")
+    return sample_bilinear(image, gr - shift[0], gc - shift[1])
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
+    """Dense ``[out, in]`` bilinear interpolation matrix (half-pixel centers).
+
+    Point-sampled linear interpolation — identical to
+    ``torch.nn.functional.interpolate(mode='bilinear', align_corners=False,
+    antialias=False)``, which is what torchvision's ``resize`` did in the
+    reference's pinned version.
+    """
+    m = np.zeros((out_size, in_size), np.float64)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    scale = in_size / out_size
+    src = (np.arange(out_size) + 0.5) * scale - 0.5
+    src = np.clip(src, 0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = src - lo
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return m
+
+
+def resize_matrix(in_size: int, out_size: int, dtype=jnp.float32) -> jax.Array:
+    return jnp.asarray(_resize_matrix_np(in_size, out_size), dtype)
+
+
+def resize_bilinear(image: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize of the trailing 2 axes via two MXU matmuls."""
+    h, w = image.shape[-2:]
+    oh, ow = out_shape
+    if (h, w) == (oh, ow):
+        return image
+    mh = resize_matrix(h, oh, image.dtype)
+    mw = resize_matrix(w, ow, image.dtype)
+    out = jnp.einsum("oh,...hw->...ow", mh, image,
+                     preferred_element_type=image.dtype)
+    return jnp.einsum("pw,...ow->...op", mw, out,
+                      preferred_element_type=image.dtype)
+
+
+def pad_to_same_resolution(array: jax.Array, pad_config: dict, constant_value: float = 0.0):
+    """Zero-pad trailing 2 axes by the pad_x0/x1/y0/y1 config
+    (``frame_utils.py:117-139``)."""
+    widths = [(0, 0)] * (array.ndim - 2) + [
+        (pad_config["pad_x0"], pad_config["pad_x1"]),
+        (pad_config["pad_y0"], pad_config["pad_y1"]),
+    ]
+    return jnp.pad(array, widths, constant_values=constant_value)
+
+
+def pad_to_same_resolution_center(array, desired_shape, constant_value: float = 0.0):
+    """Center-pad to ``desired_shape`` (``frame_utils.py:142-157``)."""
+    cur = array.shape
+    if len(cur) != len(desired_shape):
+        desired_shape = tuple(cur[: len(cur) - len(desired_shape)]) + tuple(desired_shape)
+    widths = [((j - i) // 2, (j - i) - (j - i) // 2) for i, j in zip(cur, desired_shape)]
+    return jnp.pad(array, widths, constant_values=constant_value)
+
+
+def standardize_image_minmax(array, new_min: float = 0.0, new_max: float = 255.0):
+    """Min-max standardization (``frame_utils.py:22-37``)."""
+    st = (array - array.min()) / (array.max() - array.min())
+    return st * (new_max - new_min) + new_min
+
+
+def standardize_image_center(array, old_center: float = 0.0, new_center: float = 128.0,
+                             new_max: float = 255.0):
+    """Center-preserving standardization (``frame_utils.py:40-53``)."""
+    max_abs = jnp.abs(array).max()
+    return (array - old_center) / max_abs * (new_max - new_center) + new_center
+
+
+def range_norm(array, lower=None, upper=None, new_max: float = 255.0):
+    """Clip to [lower, upper] then scale to [0, new_max]
+    (``frame_utils.py:507-518`` semantics)."""
+    lower = array.min() if lower is None else lower
+    upper = array.max() if upper is None else upper
+    clipped = jnp.clip(array, lower, upper)
+    return (clipped - lower) / (upper - lower + 1e-12) * new_max

@@ -1,0 +1,197 @@
+"""Core data types for the TPU-native event-based BOS framework.
+
+Design notes
+------------
+The reference framework (tub-rip/event_based_bos) represents an event batch as
+a ragged ``(n, 4)`` float64 array of ``(x, y, t, p)`` rows, where **x is the
+height (row) coordinate and y is the width (column) coordinate**
+(see reference ``src/data_loader/ccs.py:293-296`` and
+``src/event_image_converter.py:342-344``).  Ragged shapes are hostile to XLA:
+every window would trigger a recompile.  Here events are a fixed-capacity
+struct-of-arrays (:class:`Events`) carrying an explicit validity mask, so every
+kernel is shape-stable under ``jax.jit`` and masking replaces filtering.
+
+All kernels in :mod:`event_based_bos_tpu.ops` accept and return this type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Events(NamedTuple):
+    """Fixed-capacity batch of camera events (struct of arrays).
+
+    Attributes:
+        x: ``[(b,) n]`` float array. Row (height-direction) coordinate.
+        y: ``[(b,) n]`` float array. Column (width-direction) coordinate.
+        t: ``[(b,) n]`` float array. Timestamp in seconds.
+        p: ``[(b,) n]`` float array. Polarity. Positive events have ``p > 0``.
+        valid: ``[(b,) n]`` bool array. True where the slot holds a real event.
+
+    The capacity ``n`` is static; the number of live events is
+    ``valid.sum()``.  Mirrors the reference's ``(n, 4)`` array
+    (``src/utils/event_utils.py:18-47``) with an added mask.
+    """
+
+    x: jax.Array
+    y: jax.Array
+    t: jax.Array
+    p: jax.Array
+    valid: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[-1]
+
+    def count(self) -> jax.Array:
+        """Number of live events (traced value)."""
+        return jnp.sum(self.valid, axis=-1)
+
+    def astype(self, dtype) -> "Events":
+        return Events(
+            self.x.astype(dtype),
+            self.y.astype(dtype),
+            self.t.astype(dtype),
+            self.p.astype(dtype),
+            self.valid,
+        )
+
+    def mask_where(self, keep: jax.Array) -> "Events":
+        """Return a copy with ``valid &= keep`` (masking = filtering)."""
+        return self._replace(valid=jnp.logical_and(self.valid, keep))
+
+    def to_numpy(self) -> np.ndarray:
+        """Compact to the reference's ragged ``(n, 4)`` ndarray (host only)."""
+        x, y, t, p, valid = (np.asarray(a) for a in self)
+        m = valid.astype(bool)
+        return np.stack([x[m], y[m], t[m], p[m]], axis=-1)
+
+
+def events_from_arrays(
+    x, y, t, p, capacity: Optional[int] = None, dtype=jnp.float32
+) -> Events:
+    """Build an :class:`Events` batch from dense per-field arrays.
+
+    Pads (with invalid slots) or truncates to ``capacity``.  Accepts numpy or
+    jax arrays of equal length.
+    """
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    t = jnp.asarray(t, dtype)
+    p = jnp.asarray(p, dtype)
+    n = x.shape[-1]
+    valid = jnp.ones((n,), bool)
+    ev = Events(x, y, t, p, valid)
+    if capacity is not None and capacity != n:
+        ev = pad_events(ev, capacity)
+    return ev
+
+
+def events_from_ndarray(
+    events: np.ndarray, capacity: Optional[int] = None, dtype=jnp.float32
+) -> Events:
+    """Convert the reference-format ``(n, 4)`` array ``(x, y, t, p)``."""
+    events = np.asarray(events)
+    if events.size == 0:
+        cap = capacity or 0
+        z = jnp.zeros((cap,), dtype)
+        return Events(z, z, z, z, jnp.zeros((cap,), bool))
+    return events_from_arrays(
+        events[..., 0], events[..., 1], events[..., 2], events[..., 3],
+        capacity=capacity, dtype=dtype,
+    )
+
+
+def pad_events(ev: Events, capacity: int) -> Events:
+    """Pad (invalid slots appended) or truncate to a new static capacity."""
+    n = ev.capacity
+    if capacity == n:
+        return ev
+    if capacity < n:
+        return Events(*(a[..., :capacity] for a in ev))
+    pad = capacity - n
+    widths = [(0, 0)] * (ev.x.ndim - 1) + [(0, pad)]
+
+    def _pad(a):
+        return jnp.pad(a, widths)
+
+    return Events(_pad(ev.x), _pad(ev.y), _pad(ev.t), _pad(ev.p), _pad(ev.valid))
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchGrid:
+    """Regular grid of square patches tiling an image.
+
+    Functional replacement for the reference's per-patch ``FlowPatch``
+    dataclass dictionary (``src/types/flow_patch.py:10-91`` built in
+    ``src/solver/patch_eklt.py:70-95`` / ``patch_eklt_pyramid2.py:85-111``).
+    Instead of a dict of objects we keep the grid geometry and derive center /
+    bound arrays vectorially.
+
+    Attributes:
+        image_size: full image (H, W).
+        patch_size: patch (h, w).
+        stride: sliding window (h, w).
+        offset: (h, w) subtracted from every center (pyramid2 ``offset``).
+    """
+
+    image_size: Tuple[int, int]
+    patch_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    offset: Tuple[float, float] = (0.0, 0.0)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        """(rows, cols) of the patch grid.
+
+        Matches ``np.arange(0, H - ph + sh, sh)`` of the reference
+        (``patch_eklt.py:86-87``).
+        """
+        h, w = self.image_size
+        ph, pw = self.patch_size
+        sh, sw = self.stride
+        nr = len(range(0, h - ph + sh, sh)) if h - ph + sh > 0 else 0
+        nc = len(range(0, w - pw + sw, sw)) if w - pw + sw > 0 else 0
+        return nr, nc
+
+    @property
+    def n_patch(self) -> int:
+        nr, nc = self.shape
+        return nr * nc
+
+    def centers(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Patch center coordinates ``(cx[rows, cols], cy[rows, cols])``."""
+        h, w = self.image_size
+        ph, pw = self.patch_size
+        sh, sw = self.stride
+        cx = np.arange(0, h - ph + sh, sh, dtype=np.float64) + ph / 2 - self.offset[0]
+        cy = np.arange(0, w - pw + sw, sw, dtype=np.float64) + pw / 2 - self.offset[1]
+        return np.meshgrid(cx, cy, indexing="ij")
+
+    def bounds(self):
+        """Per-patch (x_min, x_max, y_min, y_max) arrays of grid shape.
+
+        Mirrors ``FlowPatch.x_min/x_max/y_min/y_max``
+        (``src/types/flow_patch.py:34-67``: min = center - size/2).
+        """
+        cx, cy = self.centers()
+        ph, pw = self.patch_size
+        return cx - ph / 2, cx + ph / 2, cy - pw / 2, cy + pw / 2
+
+    def roi_mask(self, xmin, xmax, ymin, ymax) -> np.ndarray:
+        """Boolean mask of patches whose center lies inside the ROI.
+
+        Mirrors the patch-skip logic of ``patch_eklt.py:112-115`` /
+        ``patch_eklt_dependent.py:65-68`` (centers outside [min, max] are
+        excluded; boundary-inclusive).
+        """
+        cx, cy = self.centers()
+        return (
+            (cx >= xmin) & (cx <= xmax) & (cy >= ymin) & (cy <= ymax)
+        )
