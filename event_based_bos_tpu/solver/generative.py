@@ -1,0 +1,374 @@
+"""Generative-model building blocks (EKLT-style) shared by all solvers.
+
+The reference expresses its four solvers as a class hierarchy
+(``GenerativeMaximumLikelihood → PatchEklt → PatchEkltDependent →
+PatchEkltPyramid2``) that differ mainly in *parameter granularity*
+(1 global patch → tiled → joint tiled → pyramid).  Here the shared math is a
+set of pure functions over a static :class:`GenerativeSpec`, so each solver is
+"an objective + an optimizer schedule", fully jittable:
+
+  * :func:`iwe_cache` — polarity histogram / weight maps
+    (``patch_eklt.py:271-306``).
+  * :func:`measured_increment` — normalized measurement
+    (``generative_max_likelihood.py:531-575`` / ``patch_eklt_pyramid2.py:329-343``).
+  * :func:`patch_to_dense` — patch-grid → dense interpolation
+    (``patch_eklt.py:138-204``).
+  * :func:`predict_increment` — the generative model ``v·∇I`` with optional
+    per-pixel pattern-translation warp
+    (``patch_eklt_pyramid2.py:345-365``; ``gml:459-487``).
+  * :func:`dense_objective` / :func:`scalar_objective` — full objectives with
+    the hybrid cost (``patch_eklt_pyramid2.py:368-397``, ``gml:343-373``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import costs as costs_mod
+from ..ops.gradients import frame_gradients, poisson_to_flow
+from ..ops.image_warp import resize_bilinear, warp_image_forward, warp_image_shift
+from ..ops.iwe import create_polarity_iwe, gaussian_blur
+from ..types import Events, PatchGrid
+
+__all__ = [
+    "GenerativeSpec",
+    "iwe_cache",
+    "measured_increment",
+    "patch_to_dense",
+    "predict_increment",
+    "params_to_fields",
+    "dense_objective",
+    "scalar_objective",
+    "initialize_params",
+    "scalar_param_dim",
+    "unfold_scalar_params",
+]
+
+NORM_EPS = 1e-4  # prediction L2-normalization epsilon (``gml:486``)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerativeSpec:
+    """Static configuration of the generative model (hashable, jit-static).
+
+    Field meanings track the ``generative_ml`` YAML section
+    (``configs/hot_plate1.yaml:70-84``).
+    """
+
+    image_size: Tuple[int, int]
+    no_polarity: bool = False
+    iwe_sigma: float = 2.0
+    weight_by_event_hist: bool = False
+    weight_sigma: float = 5.0
+    weight_by_inverse_event_hist: bool = True
+    optimize_warp: bool = True
+    angle_model: bool = False
+    poisson_model: bool = True
+    use_log_intensity: bool = False
+    sobel_ksize: int = 3
+    cost_weights: Tuple[Tuple[str, float], ...] = (
+        ("diff_norm", 1.0),
+        ("image_gradient", 0.5),
+        ("flow_norm_pxy", 0.1),
+    )
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def param_dim(self) -> int:
+        """Parameters per patch: intensity|angle|[vx,vy]  (+2 when warping).
+
+        Parity: ``GenerativeMaximumLikelihood._initialize_velocity``
+        (``gml:425-450``).
+        """
+        base = 1 if (self.poisson_model or self.angle_model) else 2
+        return base + (2 if self.optimize_warp else 0)
+
+    def cost_fn(self):
+        return costs_mod.hybrid_cost(dict(self.cost_weights))
+
+
+# ---------------------------------------------------------------------------
+# Measurement side
+# ---------------------------------------------------------------------------
+
+def iwe_cache(ev: Events, spec: GenerativeSpec):
+    """Per-frame event-histogram cache.
+
+    Returns ``(histogram, weights, weight_inverse)``:
+      * histogram — signed polarity vote image, optionally Gaussian-smoothed
+        with ``iwe_sigma`` (cv2-style reflect-101 border).
+      * weights — |histogram| blurred with ``weight_sigma`` or ``None``.
+      * weight_inverse — down-weighting map for event-dense regions
+        (σ=10 scipy-style blur, clip at mean+std/2, scale, ``1 − 0.95·x``).
+
+    Parity: ``PatchEklt.calculate_iwe_cache`` (``patch_eklt.py:271-306``).
+    """
+    pol = create_polarity_iwe(ev.astype(spec.dtype), spec.image_size)
+    if spec.no_polarity:
+        hist = pol[0] + pol[1]
+    else:
+        hist = pol[0] - pol[1]
+
+    weights = None
+    if spec.weight_by_event_hist:
+        weights = gaussian_blur(jnp.abs(hist), spec.weight_sigma, mode="reflect")
+
+    hist_s = gaussian_blur(hist, spec.iwe_sigma, mode="reflect") if spec.iwe_sigma else hist
+
+    if spec.weight_by_inverse_event_hist:
+        wi = gaussian_blur(jnp.abs(hist), 10.0, mode="symmetric")
+        wi = jnp.clip(wi, 0.0, jnp.mean(wi) + jnp.std(wi) / 2.0)
+        wi = wi / jnp.max(wi)
+        weight_inverse = 1.0 - 0.95 * wi
+    else:
+        weight_inverse = jnp.ones_like(hist)
+    return hist_s, weights, weight_inverse
+
+
+def measured_increment(
+    histogram: jax.Array,
+    weights: Optional[jax.Array],
+    roi: Optional[Tuple[int, int, int, int]] = None,
+) -> jax.Array:
+    """L2-normalized measured brightness increment.
+
+    With ``roi`` the histogram (and weights) are cropped before normalization
+    (``gml:531-575``); without, the full image is normalized as the pyramid
+    solver does (``patch_eklt_pyramid2.py:329-343``).
+    """
+    m = histogram
+    w = weights
+    if roi is not None:
+        x0, x1, y0, y1 = roi
+        m = m[x0:x1, y0:y1]
+        w = None if w is None else w[x0:x1, y0:y1]
+    if w is not None:
+        m = w * m
+    return m / jnp.linalg.norm(m)
+
+
+# ---------------------------------------------------------------------------
+# Parameter field → dense fields
+# ---------------------------------------------------------------------------
+
+def patch_to_dense(
+    field: jax.Array, grid: PatchGrid, out_size: Optional[Tuple[int, int]] = None
+) -> jax.Array:
+    """Interpolate a per-patch field ``[..., gh, gw]`` to dense ``[..., H, W]``.
+
+    Procedure (parity with ``interpolate_dense_flow_from_patch_tensor``,
+    ``patch_eklt.py:173-204``): replicate-pad the patch grid by
+    ``patch/2 // stride + 1``, bilinear-resize by the stride factor
+    (half-pixel sampling = torchvision resize), then center-crop to the image.
+    """
+    gh, gw = field.shape[-2:]
+    ph = int(grid.patch_size[0] / 2 // grid.stride[0]) + 1
+    pw = int(grid.patch_size[1] / 2 // grid.stride[1]) + 1
+    out_h, out_w = out_size or grid.image_size
+    widths = [(0, 0)] * (field.ndim - 2) + [(ph, ph), (pw, pw)]
+    padded = jnp.pad(field, widths, mode="edge")
+    up_h = (gh + 2 * ph) * grid.stride[0]
+    up_w = (gw + 2 * pw) * grid.stride[1]
+    up = resize_bilinear(padded, (up_h, up_w))
+    ch, cw = up_h // 2, up_w // 2
+    h1 = ch - out_h // 2
+    w1 = cw - out_w // 2
+    return up[..., h1 : h1 + out_h, w1 : w1 + out_w]
+
+
+def params_to_fields(
+    params: jax.Array, grid: PatchGrid, spec: GenerativeSpec
+) -> Dict[str, jax.Array]:
+    """Unfold the joint parameter field ``[n_dim, gh, gw]`` to dense fields.
+
+    Returns dict with ``flow`` ``[2, H, W]``, plus ``pxy`` (if optimize_warp)
+    and ``intensity`` (if poisson_model).
+
+    Parity: ``PatchEkltPyramid2._get_patch_flow/_get_patch_translation/
+    _get_patch_poisson`` + the dense interpolation
+    (``patch_eklt_pyramid2.py:291-327``, ``patch_eklt_dependent.py:178-257``).
+    """
+    out: Dict[str, jax.Array] = {}
+    if spec.poisson_model:
+        patch_flow = poisson_to_flow(params[0], ksize=spec.sobel_ksize)
+        out["intensity"] = patch_to_dense(params[0], grid)
+    elif spec.angle_model:
+        patch_flow = jnp.stack([jnp.sin(params[0]), jnp.cos(params[0])])
+    else:
+        patch_flow = params[:2]
+    out["flow"] = patch_to_dense(patch_flow, grid)
+    if spec.optimize_warp:
+        out["pxy"] = patch_to_dense(params[-2:], grid)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Prediction side
+# ---------------------------------------------------------------------------
+
+def predict_increment(
+    flow: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    spec: GenerativeSpec,
+    pxy: Optional[jax.Array] = None,
+    weights: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generative model: predicted brightness increment ``v·∇I``.
+
+    ``pxy`` (dense per-pixel translation) warps the gradients before the dot
+    product — the background-pattern distortion term.  Normalized by its L2
+    norm (+eps) and optionally masked.
+
+    Parity: ``PatchEkltPyramid2._make_prediction_torch``
+    (``patch_eklt_pyramid2.py:345-365``).
+    """
+    if spec.optimize_warp and pxy is not None:
+        gx = warp_image_forward(gx, pxy)
+        gy = warp_image_forward(gy, pxy)
+    pred = flow[0] * gx + flow[1] * gy
+    if spec.no_polarity:
+        pred = jnp.abs(pred)
+    if weights is not None:
+        pred = pred * weights
+    pred = pred / (jnp.linalg.norm(pred) + NORM_EPS)
+    if mask is not None:
+        pred = pred * mask
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# Objectives
+# ---------------------------------------------------------------------------
+
+def dense_objective(
+    params: jax.Array,
+    measured: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    weight_inverse: jax.Array,
+    mask: jax.Array,
+    grid: PatchGrid,
+    spec: GenerativeSpec,
+    weights: Optional[jax.Array] = None,
+):
+    """Full-image joint objective over the ``[n_dim, gh, gw]`` parameter field.
+
+    Parity: ``PatchEkltPyramid2._objective_scipy``
+    (``patch_eklt_pyramid2.py:368-397``): hybrid cost of prediction vs
+    measurement with the masked flow / pxy / intensity terms.
+    Returns ``(loss, per-term dict)``.
+    """
+    fields = params_to_fields(params, grid, spec)
+    pred = predict_increment(
+        fields["flow"], gx, gy, spec, fields.get("pxy"), weights, mask)
+    arg = {
+        "prediction": pred,
+        "measurement": measured,
+        "flow": fields["flow"] * mask,
+        "weights": weight_inverse,
+        "omit_boundary": True,
+    }
+    if "pxy" in fields:
+        arg["pxy"] = fields["pxy"] * mask
+    if "intensity" in fields:
+        arg["intensity"] = fields["intensity"] * mask
+    return spec.cost_fn()(arg)
+
+
+def scalar_param_dim(spec: GenerativeSpec) -> int:
+    return spec.param_dim
+
+
+def unfold_scalar_params(theta: jax.Array, spec: GenerativeSpec):
+    """Scalar parameter vector → (v_x, v_y, p_x, p_y | None).
+
+    Parity: ``gml.unfold_params`` (``gml:144-161``) — angle model maps
+    ``angle → (sin, cos)``; poisson model has no meaning for a single scalar
+    velocity and is treated as the plain (vx, vy) model in the whole-ROI
+    solver.
+    """
+    if spec.angle_model:
+        vx, vy = jnp.sin(theta[0]), jnp.cos(theta[0])
+        rest = theta[1:]
+    else:
+        vx, vy = theta[0], theta[1]
+        rest = theta[2:]
+    pxy = (rest[0], rest[1]) if spec.optimize_warp else None
+    return vx, vy, pxy
+
+
+def scalar_objective(
+    theta: jax.Array,
+    measured_roi: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    weight_inverse: jax.Array,
+    roi: Tuple[int, int, int, int],
+    spec: GenerativeSpec,
+    weights_roi: Optional[jax.Array] = None,
+):
+    """Whole-ROI objective over 1-4 scalar parameters.
+
+    Parity: ``GenerativeMaximumLikelihood._objective_scipy`` +
+    ``_make_prediction_torch`` (``gml:343-373``, ``459-487``): the full-size
+    gradients are globally shifted by (p_x, p_y), cropped to the ROI, dotted
+    with the constant velocity, L2-normalized; cost sees the constant flow
+    field and translation over the ROI.
+    """
+    x0, x1, y0, y1 = roi
+    vx, vy, pxy = unfold_scalar_params(theta, spec)
+    if pxy is not None:
+        shift = jnp.stack([pxy[0], pxy[1]])
+        gxw = warp_image_shift(gx, shift)[x0:x1, y0:y1]
+        gyw = warp_image_shift(gy, shift)[x0:x1, y0:y1]
+    else:
+        gxw = gx[x0:x1, y0:y1]
+        gyw = gy[x0:x1, y0:y1]
+    pred = vx * gxw + vy * gyw
+    if spec.no_polarity:
+        pred = jnp.abs(pred)
+    if weights_roi is not None:
+        pred = pred * weights_roi
+    pred = pred / (jnp.linalg.norm(pred) + NORM_EPS)
+
+    roi_shape = (x1 - x0, y1 - y0)
+    flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None], (2,) + roi_shape)
+    wi_roi = weight_inverse[x0:x1, y0:y1]
+    arg = {
+        "prediction": pred,
+        "measurement": measured_roi,
+        "flow": flow,
+        "weights": wi_roi,
+        "omit_boundary": True,
+    }
+    if pxy is not None:
+        arg["pxy"] = jnp.broadcast_to(
+            jnp.stack([pxy[0], pxy[1]])[:, None, None], (2,) + roi_shape)
+    return spec.cost_fn()(arg)
+
+
+def initialize_params(
+    key: jax.Array, grid_shape: Tuple[int, int], spec: GenerativeSpec
+) -> jax.Array:
+    """Initial joint parameter field ``[n_dim, gh, gw]``.
+
+    Parity: ``gml._initialize_velocity`` (``gml:425-450``) per patch —
+    poisson base ~ U(−1, 1) (independent per patch, as the reference draws a
+    fresh sample per patch in ``pyramid2:246``), angle = π, velocities and
+    translations zero.
+    """
+    gh, gw = grid_shape
+    n = spec.param_dim
+    params = jnp.zeros((n, gh, gw), spec.dtype)
+    if spec.poisson_model:
+        base = jax.random.uniform(key, (gh, gw), spec.dtype, -1.0, 1.0)
+        params = params.at[0].set(base)
+    elif spec.angle_model:
+        params = params.at[0].set(jnp.pi)
+    return params

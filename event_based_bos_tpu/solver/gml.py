@@ -1,0 +1,136 @@
+"""Whole-ROI generative maximum-likelihood solver (2-4 scalar parameters).
+
+TPU-native re-design of ``GenerativeMaximumLikelihood``
+(``src/solver/generative_max_likelihood.py``): one patch covering the ROI,
+parameters [angle | vx, vy] (+ optional global pattern shift p_x, p_y), fitted
+by an on-device optimizer:
+
+  * torch-optimizer names → optax first-order scan (``gml:306-341``),
+  * scipy methods → optax L-BFGS (``gml:278-304``),
+  * optuna samplers → batched random/grid search (``gml:215-276``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.gradients import frame_gradients
+from ..optim import (
+    FIRST_ORDER_METHODS,
+    QUASI_NEWTON_METHODS,
+    SAMPLER_METHODS,
+    run_first_order,
+    run_lbfgs,
+    run_sampler,
+)
+from ..types import Events
+from .generative import (
+    GenerativeSpec,
+    iwe_cache,
+    measured_increment,
+    scalar_objective,
+    unfold_scalar_params,
+)
+
+__all__ = ["GmlSpec", "initialize_theta", "solve_gml", "estimate_frame_gml"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GmlSpec:
+    """Static whole-ROI solver configuration."""
+
+    gen: GenerativeSpec
+    roi: Tuple[int, int, int, int]
+    method: str = "Adam"
+    n_iter: int = 600
+    lr: float = 0.01  # reference ``gml:323``
+    lr_decay: float = 0.1
+    # box bounds per parameter for sampler methods (``hot_plate1.yaml:69-79``)
+    param_bounds: Tuple[Tuple[float, float], ...] = ()
+    track_best: bool = True
+
+
+def initialize_theta(key: jax.Array, spec: GmlSpec) -> jax.Array:
+    """Initial scalar parameter vector (``gml:425-450``)."""
+    gen = spec.gen
+    if gen.angle_model:
+        head = jnp.array([jnp.pi], gen.dtype)
+    elif gen.poisson_model:
+        base = jax.random.uniform(key, (), gen.dtype, -1.0, 1.0)
+        head = base[None]
+    else:
+        head = jnp.zeros((2,), gen.dtype)
+    if gen.optimize_warp:
+        return jnp.concatenate([head, jnp.zeros((2,), gen.dtype)])
+    return head
+
+
+def solve_gml(
+    histogram: jax.Array,
+    weights: Optional[jax.Array],
+    weight_inverse: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    key: jax.Array,
+    spec: GmlSpec,
+    x0: Optional[jax.Array] = None,
+):
+    """Fit the scalar parameters; returns ``(theta, result)``."""
+    gen = spec.gen
+    x0r, x1r, y0r, y1r = spec.roi
+    measured = measured_increment(histogram, weights, roi=spec.roi)
+    weights_roi = None if weights is None else weights[x0r:x1r, y0r:y1r]
+
+    def objective(theta):
+        loss, _terms = scalar_objective(
+            theta, measured, gx, gy, weight_inverse, spec.roi, gen,
+            weights_roi=weights_roi)
+        return loss
+
+    if spec.method in SAMPLER_METHODS:
+        lo = jnp.array([b[0] for b in spec.param_bounds], gen.dtype)
+        hi = jnp.array([b[1] for b in spec.param_bounds], gen.dtype)
+        result = run_sampler(objective, (lo, hi), spec.n_iter, spec.method, key)
+        return result.param, result
+
+    if x0 is None:
+        x0 = initialize_theta(key, spec)
+    if spec.method in FIRST_ORDER_METHODS:
+        result = run_first_order(objective, x0, spec.n_iter, spec.method,
+                                 lr=spec.lr, lr_decay=spec.lr_decay,
+                                 track_best=spec.track_best)
+    elif spec.method in QUASI_NEWTON_METHODS:
+        result = run_lbfgs(objective, x0, spec.n_iter)
+    else:
+        raise KeyError(f"Unknown optimizer method {spec.method!r}")
+    return result.param, result
+
+
+def estimate_frame_gml(
+    ev: Events,
+    frame: jax.Array,
+    key: jax.Array,
+    spec: GmlSpec,
+    x0: Optional[jax.Array] = None,
+):
+    """Whole per-frame GML solve → constant dense flow ``[2, H, W]``.
+
+    Parity: ``GenerativeMaximumLikelihood.estimate`` (``gml:681-711``): the
+    best (vx, vy) is broadcast over the full original image.
+    """
+    gen = spec.gen
+    frame = frame.astype(gen.dtype)
+    gx, gy = frame_gradients(frame, ksize=gen.sobel_ksize,
+                             use_log_intensity=gen.use_log_intensity)
+    hist, weights, weight_inverse = iwe_cache(ev, gen)
+    theta, result = solve_gml(hist, weights, weight_inverse, gx, gy, key,
+                              spec, x0=x0)
+    vx, vy, _pxy = unfold_scalar_params(theta, gen)
+    flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None],
+                            (2,) + gen.image_size)
+    return flow, {"theta": theta, "loss": result.loss,
+                  "history": result.history}

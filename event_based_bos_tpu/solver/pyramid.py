@@ -1,0 +1,204 @@
+"""Pyramidal (coarse-to-fine) joint patch solver — the flagship model.
+
+TPU-native re-design of ``PatchEkltPyramid2``
+(``src/solver/patch_eklt_pyramid2.py``), the solver shipped in the benchmark
+config (``configs/hot_plate1.yaml:44``).  The reference runs a Python/torch
+optimizer loop per pyramid scale (600 iterations split over 4 scales); here
+each scale is one ``lax.scan`` over optax Adam steps, jitted end-to-end with
+the IWE cache and frame gradients, so a whole per-frame solve is a handful of
+device launches with zero host round-trips.
+
+Scale schedule parity (``patch_eklt_pyramid2.py:55-83``): square patches of
+size 64 → 8 halving per scale, patch == stride (no overlap), per-scale
+iterations ``n_iter // (n_scales - scale_index + 1)``
+(``patch_eklt_pyramid2.py:260``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.gradients import frame_gradients, poisson_to_flow
+from ..ops.image_warp import resize_bilinear
+from ..optim import run_first_order
+from ..types import Events, PatchGrid
+from .generative import (
+    GenerativeSpec,
+    dense_objective,
+    iwe_cache,
+    measured_increment,
+    params_to_fields,
+    patch_to_dense,
+    initialize_params,
+)
+
+__all__ = ["PyramidSpec", "pyramid_grids", "scale_iterations", "solve_pyramid",
+           "estimate_frame", "roi_mask", "update_coarse_from_fine"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PyramidSpec:
+    """Static pyramid-solver configuration (jit-static)."""
+
+    gen: GenerativeSpec
+    roi: Tuple[int, int, int, int]  # xmin, xmax, ymin, ymax
+    coarsest_patch: int = 64
+    finest_patch: int = 8
+    n_iter: int = 600
+    method: str = "Adam"
+    lr: float = 0.05
+    lr_decay: float = 0.1
+    offset: Tuple[int, int] = (0, 0)
+    track_best: bool = True
+
+    @property
+    def n_scales(self) -> int:
+        return int(math.log2(self.coarsest_patch / self.finest_patch)) + 1
+
+
+def pyramid_grids(spec: PyramidSpec) -> List[PatchGrid]:
+    """Patch grids coarsest → finest (patch == stride at every scale)."""
+    grids = []
+    for i in range(spec.n_scales):
+        p = spec.coarsest_patch // (2**i)
+        grids.append(
+            PatchGrid(spec.gen.image_size, (p, p), (p, p), spec.offset)
+        )
+    return grids
+
+
+def scale_iterations(spec: PyramidSpec) -> List[int]:
+    """Per-scale iteration budget (``patch_eklt_pyramid2.py:260``)."""
+    s = spec.n_scales
+    return [spec.n_iter // (s - i + 1) for i in range(s)]
+
+
+def roi_mask(spec: PyramidSpec, dtype=None) -> np.ndarray:
+    """Dense {0,1} estimation mask over the ROI
+    (``patch_eklt_pyramid2.py:51-52``)."""
+    dtype = dtype or spec.gen.dtype
+    x0, x1, y0, y1 = spec.roi
+    m = np.zeros(spec.gen.image_size, np.asarray(0, dtype).dtype)
+    m[x0:x1, y0:y1] = 1
+    return m
+
+
+def solve_pyramid(
+    histogram: jax.Array,
+    weights: Optional[jax.Array],
+    weight_inverse: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    spec: PyramidSpec,
+    prev_params: Optional[List[jax.Array]] = None,
+    init_params: Optional[jax.Array] = None,
+):
+    """Coarse-to-fine joint optimization; returns (dense_flow, aux).
+
+    ``aux`` carries per-scale best parameter fields, loss histories and
+    per-term cost histories (the JAX-native ``cost_func.get_history()``).
+
+    Warm-start parity (``patch_eklt_pyramid2.py:234-251``): with
+    ``prev_params`` the coarsest scale starts from the previous frame's
+    params and finer scales average the upsampled coarser result with the
+    previous frame's same-scale params; otherwise the coarser result is
+    upsampled as-is and the coarsest scale starts from
+    :func:`initialize_params`.
+    """
+    gen = spec.gen
+    measured = measured_increment(histogram, weights) * mask
+    grids = pyramid_grids(spec)
+    iters = scale_iterations(spec)
+
+    params_per_scale: List[jax.Array] = []
+    histories: List[jax.Array] = []
+    term_histories: List[Dict[str, jax.Array]] = []
+    params = None
+    for i, (grid, n_it) in enumerate(zip(grids, iters)):
+        gshape = grid.shape
+        if i == 0:
+            if init_params is not None:
+                x0 = init_params
+            elif prev_params is not None:
+                x0 = prev_params[0]
+            else:
+                x0 = initialize_params(key, gshape, gen)
+        else:
+            x0 = resize_bilinear(params, gshape)
+            if prev_params is not None:
+                x0 = (prev_params[i] + x0) / 2.0
+
+        def objective(p, _grid=grid):
+            return dense_objective(
+                p, measured, gx, gy, weight_inverse, mask, _grid, gen,
+                weights=weights)
+
+        result = run_first_order(
+            objective, x0, n_it, method=spec.method, lr=spec.lr,
+            lr_decay=spec.lr_decay, track_best=spec.track_best, has_aux=True)
+        params = result.param
+        params_per_scale.append(params)
+        histories.append(result.history)
+        term_histories.append(result.aux_history)
+
+    if gen.poisson_model:
+        patch_flow = poisson_to_flow(params[0], ksize=gen.sobel_ksize)
+    elif gen.angle_model:
+        patch_flow = jnp.stack([jnp.sin(params[0]), jnp.cos(params[0])])
+    else:
+        patch_flow = params[:2]
+    dense_flow = patch_to_dense(patch_flow, grids[-1]) * mask
+
+    aux = {
+        "params_per_scale": params_per_scale,
+        "loss_history": histories,
+        "term_history": term_histories,
+    }
+    if gen.optimize_warp:
+        aux["pxy"] = patch_to_dense(params[-2:], grids[-1]) * mask
+    return dense_flow, aux
+
+
+def estimate_frame(
+    ev: Events,
+    frame: jax.Array,
+    mask: jax.Array,
+    key: jax.Array,
+    spec: PyramidSpec,
+    prev_params: Optional[List[jax.Array]] = None,
+    init_params: Optional[jax.Array] = None,
+):
+    """Whole per-frame solve: gradients + IWE cache + pyramid optimization.
+
+    This is the function to ``jax.jit`` (everything inside is shape-static
+    for a fixed event capacity).  Mirrors ``PatchEkltPyramid2.estimate``
+    (``patch_eklt_pyramid2.py:134-191``) minus host-side visualization.
+    """
+    gen = spec.gen
+    frame = frame.astype(gen.dtype)
+    gx, gy = frame_gradients(frame, ksize=gen.sobel_ksize,
+                             use_log_intensity=gen.use_log_intensity)
+    hist, weights, weight_inverse = iwe_cache(ev, gen)
+    return solve_pyramid(hist, weights, weight_inverse, gx, gy, mask, key,
+                         spec, prev_params, init_params)
+
+
+def update_coarse_from_fine(
+    params_per_scale: List[jax.Array], spec: PyramidSpec
+) -> List[jax.Array]:
+    """Downsample fine-scale params back onto coarser grids (feedback for
+    next-frame warm starts; ``patch_eklt_pyramid2.py:439-458``)."""
+    grids = pyramid_grids(spec)
+    refined = [None] * len(params_per_scale)
+    refined[-1] = params_per_scale[-1]
+    for i in range(len(params_per_scale) - 1, 0, -1):
+        refined[i - 1] = resize_bilinear(params_per_scale[i], grids[i - 1].shape)
+    return refined

@@ -14,4 +14,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# This image force-registers a remote "axon" TPU plugin via sitecustomize and
+# ignores the JAX_PLATFORMS env var; the config update below reliably pins the
+# tests to the in-process CPU backend (8 virtual devices for sharding tests).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # allow f64 oracles in tests

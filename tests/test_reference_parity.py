@@ -1,0 +1,165 @@
+"""Golden cross-validation against the actual reference implementation.
+
+These tests import the upstream code (``/root/reference``) as an oracle and
+assert that the TPU-native pipeline reproduces its numerics: the measured
+increment, the joint objective value, and the full pyramid solve from an
+identical initialization.  Skipped when the reference tree is not mounted.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reference_harness import (
+    make_pyramid_solver,
+    reference_available,
+    synthetic_scene,
+)
+
+from event_based_bos_tpu import events_from_ndarray
+from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+from event_based_bos_tpu.solver.generative import (
+    dense_objective,
+    iwe_cache,
+    measured_increment,
+)
+from event_based_bos_tpu.solver.pyramid import (
+    estimate_frame,
+    pyramid_grids,
+    roi_mask,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic_scene(H, W)
+
+
+@pytest.fixture(scope="module")
+def ref_solver(scene):
+    import torch
+
+    torch.manual_seed(0)
+    return make_pyramid_solver(H, W, coarsest=16, n_iter=40)
+
+
+def my_spec(n_iter=40):
+    gen = GenerativeSpec(
+        image_size=(H, W), iwe_sigma=2.0, weight_by_inverse_event_hist=True,
+        optimize_warp=True, poisson_model=True, dtype=jnp.float64,
+        cost_weights=(("diff_norm", 1.0), ("image_gradient", 0.5),
+                      ("flow_norm_pxy", 0.1)),
+    )
+    return PyramidSpec(gen=gen, roi=(0, H, 0, W), coarsest_patch=16,
+                       finest_patch=8, n_iter=n_iter, lr=0.05,
+                       track_best=False)
+
+
+class TestMeasurementParity:
+    def test_iwe_cache_matches_reference(self, scene, ref_solver):
+        I1, _, events = scene
+        ref_solver.calculate_iwe_cache(events)
+        spec = my_spec().gen
+        ev = events_from_ndarray(events, dtype=jnp.float64)
+        hist, weights, weight_inverse = iwe_cache(ev, spec)
+        np.testing.assert_allclose(
+            np.asarray(hist), ref_solver.cache_histogram, atol=5e-3, rtol=0)
+        np.testing.assert_allclose(
+            np.asarray(weight_inverse), ref_solver.weight_inverse,
+            atol=5e-3, rtol=0)
+        assert weights is None and ref_solver.cache_weights is None
+
+    def test_measured_increment_matches(self, scene, ref_solver):
+        I1, _, events = scene
+        ref_solver.calculate_iwe_cache(events)
+        ref_m, ref_w = ref_solver._make_measured_increment(
+            events, {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W})
+        spec = my_spec().gen
+        ev = events_from_ndarray(events, dtype=jnp.float64)
+        hist, weights, _ = iwe_cache(ev, spec)
+        mine = measured_increment(hist, weights)
+        np.testing.assert_allclose(np.asarray(mine), ref_m, atol=1e-5, rtol=0)
+
+
+class TestObjectiveParity:
+    def test_objective_value_matches(self, scene, ref_solver):
+        import torch
+
+        I1, _, events = scene
+        ref_solver._set_frame(I1)
+        ref_solver.calculate_iwe_cache(events)
+        roi = {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W}
+        ref_m, _ = ref_solver._make_measured_increment(events, roi)
+
+        # fixed parameter field on the coarsest (16 px) grid
+        gshape = ref_solver.patch_image_size
+        rng = np.random.default_rng(1)
+        params = rng.uniform(-0.5, 0.5, (3,) + tuple(gshape))
+
+        ref_solver.n_parameter_dim = 3
+        x = torch.from_numpy(params).double().requires_grad_()
+        m = torch.from_numpy(ref_m).double() * ref_solver.estimate_mask_dense()
+        ref_loss = ref_solver._objective_scipy(x, m, roi, None).item()
+
+        spec = my_spec()
+        gen = spec.gen
+        ev = events_from_ndarray(events, dtype=jnp.float64)
+        hist, weights, weight_inverse = iwe_cache(ev, gen)
+        measured = measured_increment(hist, weights)
+        mask = jnp.asarray(roi_mask(spec, jnp.float64))
+        from event_based_bos_tpu.ops.gradients import frame_gradients
+
+        gx, gy = frame_gradients(jnp.asarray(I1, jnp.float64))
+        grid = pyramid_grids(spec)[0]
+        loss, _terms = dense_objective(
+            jnp.asarray(params), measured * mask, gx, gy, weight_inverse,
+            mask, grid, gen)
+        assert abs(float(loss) - ref_loss) / abs(ref_loss) < 1e-4, (
+            float(loss), ref_loss)
+
+
+class TestFullSolveParity:
+    def test_pyramid_flow_close_to_reference(self, scene, ref_solver):
+        """Full pyramid solve from an identical init: flows must agree."""
+        import torch
+
+        I1, _, events = scene
+        spec = my_spec(n_iter=40)
+        grids = pyramid_grids(spec)
+        rng = np.random.default_rng(2)
+        prev = []
+        for g in grids:
+            p = np.zeros((3,) + g.shape)
+            p[0] = rng.uniform(-1, 1, g.shape)
+            prev.append(p)
+
+        # pin the initialization through the previous-frame warm-start path
+        # (same mechanism in both implementations,
+        # ``patch_eklt_pyramid2.py:234-242``)
+        ref_solver.set_previous_frame_best_estimation(
+            {i + 1: prev[i] for i in range(len(prev))})
+        torch.manual_seed(0)
+        ref_flow = ref_solver.estimate(events, frame=I1, background=I1)
+        ref_solver.previous_frame_best_estimation = None
+
+        ev = events_from_ndarray(events, dtype=jnp.float64)
+        mask = jnp.asarray(roi_mask(spec, jnp.float64))
+        flow, _aux = estimate_frame(
+            ev, jnp.asarray(I1, jnp.float64), mask, jax.random.PRNGKey(0),
+            spec, prev_params=[jnp.asarray(p) for p in prev])
+        mine = np.asarray(flow)
+        # The diff_norm term is an induced matrix 1-norm whose subgradient
+        # selects the argmax column — near-ties make exact trajectories
+        # chaotic, so assert robust agreement: high correlation and small
+        # relative RMSE (measured ~0.995 / ~0.10).
+        corr = np.corrcoef(mine.ravel(), ref_flow.ravel())[0, 1]
+        rel_rmse = np.sqrt(np.mean((mine - ref_flow) ** 2)) / ref_flow.std()
+        assert corr > 0.98, corr
+        assert rel_rmse < 0.2, rel_rmse
