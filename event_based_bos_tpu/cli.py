@@ -1,0 +1,288 @@
+"""Command-line entry point — parity with the reference's ``bos_event.py``.
+
+Same flags (``--config_file``, ``--log``, ``--eval``), same YAML schema, same
+four run modes:
+
+  * ``--eval`` + ``estimation_method: solver`` → :func:`evaluate_per_frames`
+    (``bos_event.py:109-220``): per-frame GT flow (Farnebäck) vs event-based
+    solver estimate, error text files, visualizations.
+  * ``--eval`` + ``estimation_method: openpiv`` →
+    :func:`evaluate_flow_on_event_grids` (``bos_event.py:42-106``): PIV on
+    event histograms (works here — the reference's path called an undefined
+    function).
+  * no ``--eval`` → :func:`estimate_sequential` (``bos_event.py:223-264``).
+  * :func:`accumulate_sequential` (``bos_event.py:267-311``) via
+    ``run_mode: accumulate``.
+
+Run: ``python -m event_based_bos_tpu.cli --config_file configs/x.yaml --eval``
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+SUPPORTED_EVALUATION_METHOD = ["opencv_flow", "opencv_flow_two_steps",
+                               "openpiv", "openpiv_two_steps"]
+SUPPORTED_ESTIMATION_METHOD = ["solver", "openpiv"]
+
+
+def validate_image(image: np.ndarray, config: dict) -> np.ndarray:
+    """ROI crop + even-size check (``bos_event.py:25-39``)."""
+    image = image[..., config["xmin"]:config["xmax"],
+                  config["ymin"]:config["ymax"]]
+    assert image.shape[0] % 2 == 0, (
+        f"Cropped height should be even: {config['xmin']}..{config['xmax']}")
+    assert image.shape[1] % 2 == 0, (
+        f"Cropped width should be even: {config['ymin']}..{config['ymax']}")
+    return image
+
+
+def evaluate_per_frames(config, loader, solv, viz):
+    """Frame-paced evaluation loop (``bos_event.py:109-220``)."""
+    from . import frame_flow, utils
+
+    eval_config = config["evaluation"]
+    common = config["common_params"]
+    cropped_shape = (config["data"]["crop_height"], config["data"]["crop_width"])
+    eval_dt = eval_config["dt"]
+    n_events = config["data"].get("n_events_per_batch")
+    max_event_dt = config["data"].get("max_time_per_event_batch")
+    convention = config.get("flow_convention", "reference")
+    estimator = frame_flow.FrameFlowEstimator(viz, convention=convention)
+
+    im0, _ = loader.load_image(0)
+    _frame0 = validate_image(im0, common)
+    remove_nose = utils.check_key_and_bool(config["data"], "remove_nose")
+
+    i_frame = 0
+    for t_start, t_end in eval_config["time_list"]:
+        ind_start = loader.time_to_image_index(t_start) + 1
+        ind_end = loader.time_to_image_index(t_end) - eval_dt
+        logger.info("Evaluating frames %d..%d", ind_start, ind_end)
+        for i1 in range(ind_start, ind_end):
+            i2 = i1 + eval_dt
+            im1, t1 = loader.load_image(i1)
+            im2, t2 = loader.load_image(i2)
+            frame1 = validate_image(im1, common)
+            frame2 = validate_image(im2, common)
+            if frame1.shape != cropped_shape or frame2.shape != cropped_shape:
+                logger.warning("Frame may be collapsed — i1=%s i2=%s", i1, i2)
+                continue
+            gt_flow = estimator.estimate(config["method"], _frame0, frame1,
+                                         frame2, config)
+
+            ind1 = loader.time_to_index(t1)
+            ind2 = loader.time_to_index(t2)
+            batch_for_gt = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+
+            # window rebalancing (``bos_event.py:165-182``)
+            if max_event_dt is not None and t2 - t1 > max_event_dt:
+                t2 = t1 + max_event_dt
+                ind1 = loader.time_to_index(t1)
+                ind2 = loader.time_to_index(t2)
+            if n_events is not None:
+                if ind2 - ind1 < n_events:
+                    missing = n_events - (ind2 - ind1)
+                    ind1 -= missing // 2
+                    ind2 += missing // 2
+                elif ind2 - ind1 > n_events:
+                    ind1 = ind2 - n_events
+            batch = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+            if remove_nose:
+                from .ops.events import remove_event
+                from .types import events_from_ndarray
+
+                b = events_from_ndarray(batch)
+                batch = remove_event(b, 0, 120, 990, 1050).to_numpy()
+                bg = events_from_ndarray(batch_for_gt)
+                batch_for_gt = remove_event(bg, 0, 120, 990, 1050).to_numpy()
+
+            gt_time_scale = t2 - t1
+            filtered, batch_time_scale = solv.preprocess(batch)
+            estimation = solv.estimate(filtered, gt_flow, frame=im1,
+                                       background=im0)
+            scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
+
+            solv.visualize_original_sequential(batch_for_gt, filtered)
+            solv.visualize_flows(estimation * scale, gt_flow)
+            solv.visualize_pred_sequential(filtered, estimation * scale)
+            solv.visualize_gt_sequential(filtered, gt_flow)
+
+            roi = {k: common[k] for k in ("xmin", "xmax", "ymin", "ymax")}
+            est_c = estimation[:, common["xmin"]:common["xmax"],
+                               common["ymin"]:common["ymax"]]
+            gt_c = gt_flow[:, common["xmin"]:common["xmax"],
+                           common["ymin"]:common["ymax"]]
+            err_nomask = solv.calculate_flow_error(est_c, gt_c)
+            solv.save_flow_error_as_text(i_frame, err_nomask,
+                                         "flow_error_per_frame_without_mask.txt")
+            err_mask = solv.calculate_flow_error(est_c, gt_c, events=filtered,
+                                                 roi=roi)
+            solv.save_flow_error_as_text(i_frame, err_mask,
+                                         "flow_error_per_frame_with_mask.txt")
+            solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
+                                         "timestamps_per_frame.txt")
+            i_frame += 1
+
+
+def evaluate_flow_on_event_grids(config, loader, viz):
+    """PIV over event-histogram image pairs (``bos_event.py:42-106``)."""
+    from . import frame_flow
+    from .ops.iwe import create_image_from_events
+    from .types import events_from_ndarray
+
+    piv_cfg = config["params_openpiv_events"]
+    integration_time = piv_cfg["integration_time"]
+    frame_distance = piv_cfg["frame_distance"]
+    do_inversion = piv_cfg["do_inversion"]
+    eval_config = config["evaluation"]
+    eval_dt = eval_config["dt"]
+    orig_shape = (config["data"]["height"], config["data"]["width"])
+    estimator = frame_flow.FrameFlowEstimator(
+        viz, convention=config.get("flow_convention", "reference"))
+
+    for t_start, t_end in eval_config["time_list"]:
+        ind_start = loader.time_to_image_index(t_start) + 1
+        ind_end = loader.time_to_image_index(t_end) - eval_dt
+        for i1 in range(ind_start, ind_end, eval_dt):
+            _im1, t1 = loader.load_image(i1)
+
+            def hist_at(ta, tb):
+                e = loader.load_event(max(loader.time_to_index(ta), 0),
+                                      min(loader.time_to_index(tb), len(loader)))
+                ev = events_from_ndarray(e)
+                h = np.asarray(create_image_from_events(ev, orig_shape, sigma=0))
+                h = h * (255.0 / max(h.max(), 1e-9))
+                return 255.0 - h if do_inversion else h
+
+            hist1 = hist_at(t1 - integration_time, t1)
+            hist2 = hist_at(t1 + frame_distance - integration_time,
+                            t1 + frame_distance)
+            flow, _fig = estimator.consecutive_openpiv(hist1, hist2, config)
+            viz.visualize_optical_flow(flow[0], flow[1],
+                                       file_prefix="event_flow_openpiv")
+            viz.visualize_image(hist1.astype(np.uint8), file_prefix="hist1")
+            viz.visualize_image(hist2.astype(np.uint8), file_prefix="hist2")
+
+
+def estimate_sequential(config, loader, solv):
+    """Sequential filtering/visualization pass (``bos_event.py:223-264``)."""
+    eval_config = config["evaluation"]
+    eval_dt = eval_config["dt"]
+    sliding_window = 0.01
+    i_frame = 0
+    for t_start, t_end in eval_config["time_list"]:
+        for t1 in np.arange(t_start, t_end, sliding_window):
+            t2 = t1 + eval_dt * 0.008
+            ind1 = loader.time_to_index(t1)
+            ind2 = loader.time_to_index(t2)
+            batch = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+            filtered, _scale = solv.preprocess(batch)
+            solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
+                                         "timestamps_per_frame.txt")
+            solv.visualize_original_sequential(batch, filtered)
+            i_frame += 1
+
+
+def accumulate_sequential(config, loader, solv):
+    """Accumulated polarity difference images (``bos_event.py:267-311``)."""
+    from .ops.image_warp import standardize_image_center
+    from .ops.iwe import create_polarity_iwe
+    from .types import events_from_ndarray
+
+    eval_config = config["evaluation"]
+    eval_dt = eval_config["dt"]
+    sliding_window = 0.01
+    i_frame = 0
+    for t_start, t_end in eval_config["time_list"]:
+        pos_neg = np.zeros((2,) + solv.orig_image_shape)
+        filt_pos_neg = np.zeros((2,) + solv.orig_image_shape)
+        for t1 in np.arange(t_start, t_end, sliding_window):
+            t2 = t1 + eval_dt * 0.008
+            ind1 = loader.time_to_index(t1)
+            ind2 = loader.time_to_index(t2)
+            batch = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+            filtered, _ = solv.preprocess(batch)
+            ev = events_from_ndarray(batch)
+            pos_neg += np.asarray(create_polarity_iwe(ev, solv.orig_image_shape))
+            filt_pos_neg += np.asarray(
+                create_polarity_iwe(filtered, solv.orig_image_shape))
+            orig_img = np.asarray(
+                standardize_image_center(pos_neg[0] - pos_neg[1]))
+            solv.visualizer.visualize_image(orig_img.astype(np.uint8),
+                                            file_prefix="orig")
+            filt_img = np.asarray(
+                standardize_image_center(filt_pos_neg[0] - filt_pos_neg[1]))
+            solv.visualizer.visualize_image(filt_img.astype(np.uint8),
+                                            file_prefix="filter")
+            solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
+                                         "timestamps_per_frame.txt")
+            i_frame += 1
+
+
+def main(argv=None):
+    from . import data, solver, utils, visualizer
+
+    config, args = utils.parse_args(argv=argv)
+    data_config = config["data"]
+    save_dir = config["output_dir"]
+    utils.save_config(save_dir, args.config_file, args.log.upper())
+
+    loader = data.collections[data_config["dataset"]](config=data_config)
+    loader.set_sequence(data_config["sequence"])
+
+    orig_shape = (data_config["height"], data_config["width"])
+    crop_shape = (data_config["crop_height"], data_config["crop_width"])
+    viz = visualizer.Visualizer(orig_shape, save=True, show=False,
+                                save_dir=save_dir)
+
+    method_name = config["solver"]["method"]
+    config["solver"].setdefault("flow_convention",
+                                config.get("flow_convention", "reference"))
+    solv = solver.collections[method_name](
+        orig_shape, crop_shape, calibration_parameter=loader.load_calib(),
+        solver_config=config["solver"], visualize_module=viz)
+
+    logger.info("Start BOS estimation.")
+    if args.eval:
+        assert config["method"] in SUPPORTED_EVALUATION_METHOD
+        assert config["estimation_method"] in SUPPORTED_ESTIMATION_METHOD
+        if config["estimation_method"] == "openpiv":
+            evaluate_flow_on_event_grids(config, loader, viz)
+        else:
+            evaluate_per_frames(config, loader, solv, viz)
+    elif config.get("run_mode") == "accumulate":
+        accumulate_sequential(config, loader, solv)
+    else:
+        estimate_sequential(config, loader, solv)
+
+    for v in solv.sequential_video_list:
+        logger.info("Make video %s…", v)
+        viz.visualize_sequential_images_as_video(v)
+    try:
+        viz.concat_videos(["original", "pred_flow", "gt_flow"],
+                          "flow_comparison")
+        viz.concat_videos(["original", "pred_masked", "gt_masked"],
+                          "flow_comparison_masked")
+    except Exception as e:  # comparison videos are best-effort
+        logger.warning("Video concat skipped: %s", e)
+    try:
+        viz.concat_videos(["original", "original_filter"],
+                          "video_filter_effect")
+    except Exception as e:
+        logger.warning("Video concat skipped: %s", e)
+
+    if args.eval:
+        for fname in solv.evaluation_text_list:
+            _data, stat = utils.read_flow_error_text(fname)
+            logger.info("Evaluation %s:\n%s", fname, stat)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,13 +9,15 @@ solver names map onto the functional estimators here:
   * ``patch_eklt_pyramid2``       → :mod:`.pyramid` coarse-to-fine (flagship)
 """
 
-from . import generative, gml, patch, pyramid  # noqa: F401
+from . import api, generative, gml, patch, pyramid  # noqa: F401
+from .api import SolverBase, collections  # noqa: F401
 from .generative import GenerativeSpec  # noqa: F401
 from .gml import GmlSpec, estimate_frame_gml  # noqa: F401
 from .patch import PatchSpec, estimate_frame_dependent, estimate_frame_patch  # noqa: F401
 from .pyramid import PyramidSpec, estimate_frame  # noqa: F401
 
-collections = {
+#: functional per-frame estimators (jit these directly for custom pipelines)
+functional = {
     "generative_max_likelihood": estimate_frame_gml,
     "patch_eklt": estimate_frame_patch,
     "patch_eklt_dependent": estimate_frame_dependent,

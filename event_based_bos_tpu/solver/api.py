@@ -1,0 +1,444 @@
+"""User-facing solver classes (reference-compatible facade).
+
+The reference exposes solvers as classes constructed from the YAML config
+(``src/solver/base.py:64-106``); this module provides the same constructor
+signature and public methods (``preprocess`` / ``estimate`` /
+``calculate_flow_error`` / ``calculate_fwl`` / ``save_flow_error_as_text`` /
+``visualize_*``) on top of the functional jitted estimators.  Each facade
+owns a cache of jitted per-frame solvers keyed by the padded event capacity
+(power-of-two buckets → a handful of compiles per run).
+
+Flow-output convention: ``reference`` (default) returns exactly what the
+upstream code returns; ``physical`` negates the generative-model flow so it
+equals the pattern displacement in (row, col) — see ``docs/conventions.md``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filters import EventFilter
+from ..ops.flow import calculate_flow_error
+from ..ops.iwe import create_eventmask, create_image_from_events
+from ..ops.warp import warp_event
+from ..types import Events, events_from_ndarray
+from ..costs import normalized_image_variance
+from .generative import GenerativeSpec
+from .gml import GmlSpec, estimate_frame_gml
+from .patch import PatchSpec, estimate_frame_dependent, estimate_frame_patch
+from .pyramid import PyramidSpec, estimate_frame, roi_mask
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket_capacity(n: int, minimum: int = 4096) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+def _generative_spec(orig_image_shape, solver_config, dtype) -> GenerativeSpec:
+    g = solver_config.get("generative_ml", {})
+    cw = solver_config.get("cost_with_weight", {"diff_norm": 1.0})
+    return GenerativeSpec(
+        image_size=tuple(orig_image_shape),
+        no_polarity=bool(g.get("no_polarity", False)),
+        iwe_sigma=float(g.get("iwe_sigma", 0) or 0),
+        weight_by_event_hist=bool(g.get("weight_loss_by_event_hist", False)),
+        weight_sigma=float(g.get("weight_sigma", 5)),
+        weight_by_inverse_event_hist=bool(
+            g.get("weight_loss_by_inverse_event_hist", False)),
+        optimize_warp=bool(g.get("optimize_warp", False)),
+        angle_model=bool(g.get("angle_model", False)),
+        poisson_model=bool(g.get("poisson_model", False)),
+        use_log_intensity=bool(g.get("use_log_intensity", False)),
+        sobel_ksize=int(g.get("sobel_ksize", 3)),
+        cost_weights=tuple(cw.items()),
+        dtype=dtype,
+    )
+
+
+class SolverBase:
+    """Public API parity with reference ``SolverBase`` (``base.py:54-378``)."""
+
+    def __init__(self, orig_image_shape, crop_image_shape,
+                 calibration_parameter=None, solver_config=None,
+                 visualize_module=None):
+        self.orig_image_shape = tuple(orig_image_shape)
+        self.crop_image_shape = tuple(crop_image_shape)
+        self.calib_param = calibration_parameter or {}
+        self.slv_config = solver_config or {}
+        self.visualizer = visualize_module
+        self.padding = int(self.slv_config.get("outer_padding", 0))
+        self.pad_image_shape = (crop_image_shape[0] + self.padding,
+                                crop_image_shape[1] + self.padding)
+
+        if "filter" in self.slv_config:
+            fp = self.slv_config["filter"]["parameters"]
+            self.preproc_filter = True
+            self.filter_set = EventFilter(self.orig_image_shape,
+                                          self.slv_config["filter"])
+            self.crop_xmin, self.crop_xmax = fp["xmin"], fp["xmax"]
+            self.crop_ymin, self.crop_ymax = fp["ymin"], fp["ymax"]
+        else:
+            self.preproc_filter = False
+            self.crop_xmin, self.crop_ymin = 0, 0
+            self.crop_xmax, self.crop_ymax = self.orig_image_shape
+
+        self.dtype = (jnp.float64 if str(self.slv_config.get("precision", "32")) == "64"
+                      else jnp.float32)
+        self.flow_convention = self.slv_config.get("flow_convention", "reference")
+        self.normalize_t_in_batch = True
+        self.previous_frame_best_estimation = None
+        self.sequential_video_list: List[str] = []
+        self.evaluation_text_list: List[str] = []
+        self.iwe_visualize_max_scale = self.slv_config.get("max_scale", 50)
+        self.motion_model = self.slv_config.get("motion_model", "dense-flow")
+        self._rng = jax.random.PRNGKey(int(self.slv_config.get("seed", 0)))
+        self.iter_cnt = 0
+        logger.info("Solver configuration: %s", self.slv_config)
+
+    # -- helpers ---------------------------------------------------------------
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _to_events(self, events) -> Events:
+        if isinstance(events, Events):
+            return events
+        arr = np.asarray(events)
+        cap = _bucket_capacity(len(arr))
+        return events_from_ndarray(arr, capacity=cap, dtype=self.dtype)
+
+    # -- main API ----------------------------------------------------------------
+    def preprocess(self, events):
+        """Filter events; returns (events, time_period)
+        (``base.py:123-139``)."""
+        ev = self._to_events(events)
+        num_orig = int(ev.count())
+        from ..ops.events import time_period
+
+        period = float(time_period(ev))
+        if self.preproc_filter:
+            ev = self.filter_set.process(ev)
+            logger.info("After preprocessing %d out of %d.", int(ev.count()),
+                        num_orig)
+        return ev, period
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- evaluation -----------------------------------------------------------------
+    def calculate_flow_error(self, pred_disp, gt_flow, timescale: float = 1.0,
+                             events=None, roi: Optional[dict] = None) -> dict:
+        """Masked EPE/NPE/AE (``base.py:289-317``)."""
+        if events is not None:
+            ev = self._to_events(events)
+            mask = create_eventmask(ev, self.orig_image_shape)
+            mask = mask[:, roi["xmin"]:roi["xmax"], roi["ymin"]:roi["ymax"]]
+            mask = mask[None]
+        else:
+            mask = None
+        err = calculate_flow_error(jnp.asarray(gt_flow)[None],
+                                   jnp.asarray(pred_disp)[None],
+                                   event_mask=mask)
+        out = {k: float(v) for k, v in err.items()}
+        logger.info("flow_error = %s for time period %s sec.", out, timescale)
+        return out
+
+    def calculate_fwl(self, flow, events) -> dict:
+        """FWL = Var(IWE_orig)/Var(IWE) — < 1 is better.
+
+        The reference's implementation references a cost class that does not
+        exist (``base.py:319-340``); this one works.
+        """
+        ev = self._to_events(events)
+        iwe_orig = create_image_from_events(ev, self.orig_image_shape, sigma=1)
+        warped = warp_event(ev, jnp.asarray(flow, self.dtype), "dense-flow",
+                            direction="middle",
+                            normalize_t=self.normalize_t_in_batch)
+        iwe = create_image_from_events(warped, self.orig_image_shape, sigma=1)
+        fwl = normalized_image_variance({"orig_iwe": iwe_orig, "iwe": iwe})
+        return {"FWL": float(fwl)}
+
+    def save_flow_error_as_text(self, nth_frame: int, flow_error_dict: dict,
+                                fname: str = "flow_error_per_frame.txt"):
+        """Append-only per-frame results (``base.py:342-353``)."""
+        if self.visualizer is not None:
+            path = os.path.join(self.visualizer.save_dir, fname)
+        else:
+            path = fname
+        with open(path, "a") as f:
+            f.write(f"frame {nth_frame}::" + str(flow_error_dict) + "\n")
+        if path not in self.evaluation_text_list and fname != "timestamps_per_frame.txt":
+            self.evaluation_text_list.append(path)
+
+    def set_previous_frame_best_estimation(self, previous_best):
+        self.previous_frame_best_estimation = previous_best
+
+    # -- visualization ---------------------------------------------------------------
+    def create_clipped_image(self, events, max_scale=50):
+        """Inverted clipped IWE for viewing (``base.py:154-174``)."""
+        ev = self._to_events(events)
+        im = np.asarray(create_image_from_events(ev, self.orig_image_shape,
+                                                 sigma=0))
+        clipped = 255 - np.clip(max_scale * im, 0, 255).astype(np.uint8)
+        if self.padding > 0:
+            clipped = clipped[self.padding:-self.padding,
+                              self.padding:-self.padding]
+        return clipped
+
+    def _register_video(self, prefix: str):
+        if prefix not in self.sequential_video_list:
+            self.sequential_video_list.append(prefix)
+
+    def visualize_original_sequential(self, orig_events, filter_events):
+        """(``base.py:208-229``)."""
+        if self.visualizer is None:
+            return
+        orig = orig_events.to_numpy() if isinstance(orig_events, Events) else orig_events
+        self.visualizer.visualize_event(orig, file_prefix="original")
+        self._register_video("original")
+        clipped = self.create_clipped_image(filter_events,
+                                            self.iwe_visualize_max_scale)
+        self.visualizer.visualize_image(clipped, file_prefix="original_filter")
+        self._register_video("original_filter")
+
+    def visualize_pred_sequential(self, events, flow):
+        """(``base.py:231-252``)."""
+        if self.visualizer is None:
+            return
+        flow = np.asarray(flow)
+        self.visualizer.visualize_optical_flow(
+            flow[0], flow[1], visualize_color_wheel=False,
+            file_prefix="pred_flow", save_flow=True)
+        self._register_video("pred_flow")
+        self.visualizer.visualize_poisson_integration(
+            flow, file_prefix="pred_flow_poisson")
+        self._register_video("pred_flow_poisson")
+        ev = events.to_numpy() if isinstance(events, Events) else np.asarray(events)
+        self.visualizer.visualize_optical_flow_on_event_mask(
+            flow, ev, file_prefix="pred_masked", mask_color="black",
+            mask_morph=True)
+        self._register_video("pred_masked")
+
+    def visualize_gt_sequential(self, events, gt_flow):
+        """(``base.py:254-273``)."""
+        if self.visualizer is None:
+            return
+        gt_flow = np.asarray(gt_flow)
+        self.visualizer.visualize_optical_flow(
+            gt_flow[0], gt_flow[1], visualize_color_wheel=False,
+            file_prefix="gt_flow", save_flow=False)
+        self._register_video("gt_flow")
+        self.visualizer.visualize_poisson_integration(
+            gt_flow, file_prefix="gt_flow_poisson")
+        self._register_video("gt_flow_poisson")
+        ev = events.to_numpy() if isinstance(events, Events) else np.asarray(events)
+        self.visualizer.visualize_optical_flow_on_event_mask(
+            gt_flow, ev, file_prefix="gt_masked", mask_color="black",
+            mask_morph=True)
+        self._register_video("gt_masked")
+
+    def visualize_flows(self, pred_flow, gt_flow):
+        """(``base.py:276-287``)."""
+        if self.visualizer is None:
+            return
+        self.visualizer.visualize_optical_flow_pred_and_gt(
+            np.asarray(pred_flow), np.asarray(gt_flow),
+            pred_file_prefix="flow_comparison_pred",
+            gt_file_prefix="flow_comparison_gt")
+
+    def visualize_one_batch_warp(self, events, warp=None):
+        """(``base.py:177-190``)."""
+        if self.visualizer is None:
+            return
+        ev = self._to_events(events)
+        if warp is not None:
+            motion = jnp.asarray(np.asarray(warp), self.dtype)
+            ev = warp_event(ev, motion, self.motion_model, direction="middle",
+                            normalize_t=self.normalize_t_in_batch)
+        clipped = self.create_clipped_image(ev, self.iwe_visualize_max_scale)
+        self.visualizer.visualize_image(clipped)
+
+    def visualize_one_batch_warp_gt(self, events, gt_warp,
+                                    motion_model: str = "dense-flow"):
+        """(``base.py:192-206``)."""
+        if self.visualizer is None:
+            return
+        ev = self._to_events(events)
+        gt = np.asarray(gt_warp)
+        if motion_model == "dense-flow" and gt.ndim == 3 and gt.shape[-1] == 2:
+            gt = gt.transpose(2, 0, 1)
+        warped = warp_event(ev, jnp.asarray(gt, self.dtype), motion_model,
+                            direction="middle",
+                            normalize_t=self.normalize_t_in_batch)
+        clipped = self.create_clipped_image(warped, self.iwe_visualize_max_scale)
+        self.visualizer.visualize_image(clipped)
+        if motion_model == "dense-flow":
+            self.visualizer.visualize_overlay_optical_flow_on_event(gt, clipped)
+
+    # -- model image handling ---------------------------------------------------------
+    def _model_frame(self, kwargs) -> np.ndarray:
+        mode = self.slv_config.get("generative_ml", {}).get("model_image", "current")
+        if mode == "current":
+            return np.asarray(kwargs["frame"])
+        if mode == "black":
+            return np.zeros_like(np.asarray(kwargs["frame"]))
+        if mode == "background":
+            if getattr(self, "_background", None) is None:
+                self._background = np.asarray(kwargs["background"])
+            return self._background
+        raise ValueError(f"Unknown model_image {mode!r}")
+
+    def _orient_flow(self, flow: np.ndarray) -> np.ndarray:
+        """Apply the output convention (see module docstring)."""
+        if self.flow_convention == "physical":
+            return -flow
+        return flow
+
+
+class GenerativeMaximumLikelihood(SolverBase):
+    """Whole-ROI solver facade (reference
+    ``GenerativeMaximumLikelihood.estimate``, ``gml:681-711``)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        opt = self.slv_config.get("optimizer", {})
+        self.gen = _generative_spec(self.orig_image_shape, self.slv_config,
+                                    self.dtype)
+        bounds = tuple(
+            (float(v["min"]), float(v["max"]))
+            for v in opt.get("parameters", {}).values())
+        self.spec = GmlSpec(
+            gen=self.gen,
+            roi=(self.crop_xmin, self.crop_xmax, self.crop_ymin, self.crop_ymax),
+            method=opt.get("sampler", opt.get("method", "Adam"))
+            if opt.get("method") == "optuna" else opt.get("method", "Adam"),
+            n_iter=int(opt.get("n_iter", 600)),
+            param_bounds=bounds,
+        )
+        self._jitted = {}
+
+    def _solver_fn(self, capacity: int):
+        if capacity not in self._jitted:
+            self._jitted[capacity] = jax.jit(
+                functools.partial(estimate_frame_gml, spec=self.spec))
+        return self._jitted[capacity]
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        ev = self._to_events(events)
+        frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
+        flow, aux = self._solver_fn(ev.capacity)(ev, frame, self._next_key())
+        if self.visualizer is not None:
+            self.visualizer.visualize_scipy_history(
+                {"loss": np.asarray(aux["history"])})
+        self.iter_cnt += 1
+        return self._orient_flow(np.asarray(flow))
+
+
+class PatchEklt(SolverBase):
+    """Independent tiled solver facade (``patch_eklt.py:98-136``)."""
+
+    spec_cls = PatchSpec
+    _estimator = staticmethod(estimate_frame_patch)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        opt = self.slv_config.get("optimizer", {})
+        pe = self.slv_config.get("patch_eklt", {})
+        self.gen = _generative_spec(self.orig_image_shape, self.slv_config,
+                                    self.dtype)
+        self.spec = PatchSpec(
+            gen=self.gen,
+            roi=(self.crop_xmin, self.crop_xmax, self.crop_ymin, self.crop_ymax),
+            patch_size=int(pe.get("patch_size", 4)),
+            sliding_window=int(pe.get("sliding_window",
+                                      pe.get("patch_size", 4))),
+            method=opt.get("method", "Adam"),
+            n_iter=int(opt.get("n_iter", 600)),
+            do_event_thresholding=bool(pe.get("do_event_thresholding", False)),
+            event_thres=int(pe.get("event_thres", 8)),
+        )
+        self._jitted = {}
+
+    def _solver_fn(self, capacity: int):
+        if capacity not in self._jitted:
+            self._jitted[capacity] = jax.jit(
+                functools.partial(type(self)._estimator, spec=self.spec))
+        return self._jitted[capacity]
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        ev = self._to_events(events)
+        frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
+        flow, _aux = self._solver_fn(ev.capacity)(ev, frame, self._next_key())
+        self.iter_cnt += 1
+        return self._orient_flow(np.asarray(flow))
+
+
+class PatchEkltDependent(PatchEklt):
+    """Joint tiled solver facade (``patch_eklt_dependent.py:53-137``)."""
+
+    _estimator = staticmethod(estimate_frame_dependent)
+
+
+class PatchEkltPyramid2(SolverBase):
+    """Coarse-to-fine pyramid facade — the flagship
+    (``patch_eklt_pyramid2.py:134-191``)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        opt = self.slv_config.get("optimizer", {})
+        pe = self.slv_config.get("patch_eklt", {})
+        self.gen = _generative_spec(self.orig_image_shape, self.slv_config,
+                                    self.dtype)
+        self.spec = PyramidSpec(
+            gen=self.gen,
+            roi=(self.crop_xmin, self.crop_xmax, self.crop_ymin, self.crop_ymax),
+            coarsest_patch=int(pe.get("coarsest_patch_size", 64)),
+            finest_patch=int(pe.get("finest_patch_size", 8)),
+            n_iter=int(opt.get("n_iter", 600)),
+            method=opt.get("method", "Adam"),
+            lr=float(opt.get("lr", 0.05)),
+            lr_decay=float(opt.get("lr_decay", 0.1)),
+            track_best=bool(self.slv_config.get("track_best", True)),
+        )
+        self._mask = jnp.asarray(roi_mask(self.spec))
+        self._jitted = {}
+        self._last_aux = None
+
+    def _solver_fn(self, capacity: int, warm: bool):
+        key = (capacity, warm)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(estimate_frame, spec=self.spec))
+        return self._jitted[key]
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        ev = self._to_events(events)
+        frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
+        prev = self.previous_frame_best_estimation
+        fn = self._solver_fn(ev.capacity, prev is not None)
+        flow, aux = fn(ev, frame, self._mask, self._next_key(),
+                       prev_params=prev)
+        self._last_aux = aux
+        if self.visualizer is not None:
+            hist = {f"scale{i}": np.asarray(h)
+                    for i, h in enumerate(aux["loss_history"])}
+            self.visualizer.visualize_scipy_history(hist)
+        self.iter_cnt += 1
+        return self._orient_flow(np.asarray(flow))
+
+
+collections = {
+    "generative_max_likelihood": GenerativeMaximumLikelihood,
+    "patch_eklt": PatchEklt,
+    "patch_eklt_dependent": PatchEkltDependent,
+    "patch_eklt_pyramid2": PatchEkltPyramid2,
+}

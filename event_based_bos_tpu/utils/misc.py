@@ -1,0 +1,112 @@
+"""Misc utilities: seeds, config key checks, error-text IO, profiling.
+
+Re-design of reference ``src/utils/misc.py`` (minus the optuna storage,
+which has no equivalent here — samplers run as batched device programs).
+"""
+
+from __future__ import annotations
+
+import ast
+import cProfile
+import functools
+import io
+import logging
+import pstats
+import random
+from typing import Dict, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def fix_random_seed(seed: int = 46) -> None:
+    """Seed host RNGs (``misc.py:19-25``).  Device randomness in this
+    framework is explicit ``jax.random`` keys, which callers derive from the
+    same seed."""
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def check_key_and_bool(config: dict, key: str) -> bool:
+    """True iff the key exists and is truthy (``misc.py:44-55``)."""
+    return key in config and bool(config[key])
+
+
+def read_flow_error_text(filename: str, abs_val: bool = False) -> Tuple[dict, dict]:
+    """Parse a per-frame error text file and compute summary statistics.
+
+    Parity: ``misc.read_flow_error_text`` (``misc.py:88-139``): each line is
+    ``frame N::{dict}``; NaNs become 0; FWL columns are inverted; nPE columns
+    scale to %; AE stats exclude zeros; stats are mean/rms/std/min/max/n.
+    """
+    error_per_frame: Dict[str, list] = {}
+    keys = None
+    with open(filename) as f:
+        for line in f:
+            line = line.replace("nan", "0.0")
+            payload = line[line.find("::") + 2:].strip()
+            data = ast.literal_eval(payload)
+            if keys is None:
+                keys = list(data.keys())
+                error_per_frame = {k: [] for k in keys}
+            for k in keys:
+                error_per_frame[k].append(data[k])
+    assert keys is not None, f"No parsable lines in {filename}"
+    arrays = {k: np.asarray(v, dtype=float) for k, v in error_per_frame.items()}
+    if abs_val:
+        arrays = {k: np.abs(v) for k, v in arrays.items()}
+    for k in keys:
+        if "FWL" in k:
+            arrays[k] = 1.0 / arrays[k]
+        if k in ("1PE", "2PE", "3PE", "5PE", "10PE", "20PE"):
+            arrays[k] = arrays[k] * 100.0
+
+    stats: Dict[str, dict] = {}
+    for k in keys:
+        metric = arrays[k].copy()
+        if k == "AE":
+            metric = metric[metric != 0]
+        if metric.size == 0:
+            metric = np.zeros(1)
+        stats[k] = {
+            "mean": float(np.mean(metric)),
+            "rms": float(np.sqrt(np.mean(metric**2))),
+            "std": float(np.std(metric)),
+            "min": float(np.min(metric)),
+            "max": float(np.max(metric)),
+            "n_data": int(len(metric)),
+        }
+    return arrays, stats
+
+
+def profile(output_file=None, sort_by="cumulative", lines_to_print=None,
+            strip_dirs=False):
+    """cProfile decorator (``misc.py:142-199``).
+
+    For device-side profiling prefer
+    :func:`event_based_bos_tpu.utils.tracing.trace` (jax.profiler); this
+    decorator captures the host orchestration cost.
+    """
+
+    def inner(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            out = output_file or func.__name__ + ".prof"
+            pr = cProfile.Profile()
+            pr.enable()
+            try:
+                return func(*args, **kwargs)
+            finally:
+                pr.disable()
+                pr.dump_stats(out)
+                s = io.StringIO()
+                ps = pstats.Stats(pr, stream=s)
+                if strip_dirs:
+                    ps.strip_dirs()
+                ps.sort_stats(sort_by).print_stats(lines_to_print)
+                logger.debug(s.getvalue())
+
+        return wrapper
+
+    return inner

@@ -1,0 +1,323 @@
+"""Output / visualization layer (host side).
+
+Re-design of reference ``src/visualizer.py``: prefix-counted PNG/NPY writers,
+HSV flow colorization (DSEC-style ``ord=0.5`` magnitude), event images,
+masked / overlay / pred-gt views, Poisson-integration view, and sequential
+video assembly.  Differences from the reference:
+
+  * video assembly uses ``cv2.VideoWriter`` instead of an ffmpeg binary
+    (absent from this image) — see :mod:`event_based_bos_tpu.utils.video`;
+  * matplotlib is imported lazily (loss-history plots only);
+  * all device arrays are accepted and converted once at the boundary.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import re
+from typing import Any, List, Optional
+
+import numpy as np
+
+from .ops.image_warp import standardize_image_center
+from .utils.video import concat_videos_horizontally, write_video
+
+logger = logging.getLogger(__name__)
+
+
+def _to_numpy(a):
+    return np.asarray(a)
+
+
+class Visualizer:
+    """Prefix-counted image/array writer.
+
+    Naming parity with the reference (``visualizer.py:71-121``): files are
+    ``{save_dir}/{prefix}{count}.png`` with an independent counter per prefix.
+    """
+
+    def __init__(self, image_shape, show: bool = False, save: bool = True,
+                 save_dir: Optional[str] = None):
+        self._image_size = tuple(image_shape)
+        self._show = show
+        self._save = save
+        self.default_prefix = "image"
+        self.default_save_count = 0
+        self.prefixed_save_count: dict = {}
+        self.save_dir = save_dir or "."
+        if save:
+            os.makedirs(self.save_dir, exist_ok=True)
+
+    # -- filename bookkeeping -------------------------------------------------
+    def update_save_dir(self, new_dir: str) -> None:
+        self.save_dir = new_dir
+        os.makedirs(new_dir, exist_ok=True)
+
+    def get_filename_from_prefix(self, prefix: Optional[str] = None,
+                                 file_format: str = "png") -> str:
+        if not prefix:
+            name = f"{self.default_prefix}{self.default_save_count}.{file_format}"
+            self.default_save_count += 1
+        else:
+            self.prefixed_save_count[prefix] = (
+                self.prefixed_save_count.get(prefix, -1) + 1)
+            name = f"{prefix}{self.prefixed_save_count[prefix]}.{file_format}"
+        return os.path.join(self.save_dir, name)
+
+    def rollback_save_count(self, prefix: Optional[str] = None):
+        if not prefix:
+            self.default_save_count -= 1
+        else:
+            self.prefixed_save_count[prefix] -= 1
+
+    def reset_save_count(self, file_prefix: Optional[str] = None):
+        if not file_prefix:
+            self.default_save_count = 0
+        elif file_prefix == "all":
+            self.default_save_count = 0
+            self.prefixed_save_count = {}
+        else:
+            self.prefixed_save_count.pop(file_prefix, None)
+
+    def _show_or_save_image(self, image, file_prefix=None, fixed_file_name=None):
+        from PIL import Image
+
+        if isinstance(image, np.ndarray):
+            image = Image.fromarray(image)
+        if self._save:
+            if fixed_file_name is not None:
+                fname = os.path.join(self.save_dir, f"{fixed_file_name}.png")
+            else:
+                fname = self.get_filename_from_prefix(file_prefix)
+            image.save(fname)
+        if self._show:
+            image.show()
+        return image
+
+    # -- plain images -----------------------------------------------------------
+    def visualize_image(self, image: Any, file_prefix: Optional[str] = None):
+        arr = _to_numpy(image)
+        if arr.dtype != np.uint8:
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        return self._show_or_save_image(arr, file_prefix)
+
+    # -- optical flow -------------------------------------------------------------
+    def color_optical_flow(self, flow_x, flow_y, max_magnitude=None, ord=1.0):
+        """HSV flow colorization (``visualizer.py:372-416``): hue = angle,
+        value = magnitude**ord scaled to the max."""
+        import cv2
+
+        flow_x = _to_numpy(flow_x).astype(np.float64)
+        flow_y = _to_numpy(flow_y).astype(np.float64)
+        flows = np.stack((flow_x, flow_y), axis=2)
+        flows[~np.isfinite(flows)] = 0
+        mag = np.linalg.norm(flows, axis=2) ** ord
+        ang = ((np.arctan2(flow_y, flow_x) + np.pi) * 180.0 / np.pi / 2.0)
+        hsv = np.zeros(flow_x.shape + (3,), np.uint8)
+        hsv[..., 0] = ang.astype(np.uint8)
+        hsv[..., 1] = 255
+        if max_magnitude is None:
+            max_magnitude = mag.max() if mag.max() > 0 else 1.0
+        hsv[..., 2] = np.clip(255 * mag / max_magnitude, 0, 255).astype(np.uint8)
+        flow_rgb = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+        n = flow_x.shape[0]
+        xx, yy = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n))
+        wmag = np.sqrt(xx**2 + yy**2)
+        whsv = np.zeros((n, n, 3), np.uint8)
+        whsv[..., 0] = ((np.arctan2(yy, xx) + np.pi) * 180 / np.pi / 2.0).astype(np.uint8)
+        whsv[..., 1] = 255
+        whsv[..., 2] = (255 * wmag / wmag.max()).astype(np.uint8)
+        color_wheel = cv2.cvtColor(whsv, cv2.COLOR_HSV2RGB)
+        return flow_rgb, color_wheel, max_magnitude
+
+    def visualize_optical_flow(self, flow_x, flow_y, visualize_color_wheel=True,
+                               file_prefix=None, save_flow=False, ord=0.5):
+        """(``visualizer.py:205-236``; also dumps `.npy` when save_flow)."""
+        from PIL import Image
+
+        flow_x = _to_numpy(flow_x)
+        flow_y = _to_numpy(flow_y)
+        if save_flow and self._save:
+            save_name = self.get_filename_from_prefix(file_prefix).replace("png", "npy")
+            np.save(save_name, np.stack([flow_x, flow_y], axis=0))
+            self.rollback_save_count(file_prefix)
+        rgb, wheel, _ = self.color_optical_flow(flow_x, flow_y, ord=ord)
+        image = Image.fromarray(rgb)
+        image = self._show_or_save_image(image, file_prefix)
+        if visualize_color_wheel:
+            self._show_or_save_image(wheel, fixed_file_name="color_wheel")
+        return image
+
+    def visualize_optical_flow_pred_and_gt(self, flow_pred, flow_gt,
+                                           visualize_color_wheel=True,
+                                           pred_file_prefix=None,
+                                           gt_file_prefix=None, ord=0.5):
+        """Common-scale pred/GT pair (``visualizer.py:333-370``)."""
+        flow_pred = _to_numpy(flow_pred)
+        flow_gt = _to_numpy(flow_gt)
+        _, _, mp = self.color_optical_flow(flow_pred[0], flow_pred[1], ord=ord)
+        _, _, mg = self.color_optical_flow(flow_gt[0], flow_gt[1], ord=ord)
+        mm = max(mp, mg)
+        rgb_p, _, _ = self.color_optical_flow(flow_pred[0], flow_pred[1], mm, ord)
+        rgb_g, wheel, _ = self.color_optical_flow(flow_gt[0], flow_gt[1], mm, ord)
+        self._show_or_save_image(rgb_p, pred_file_prefix)
+        self._show_or_save_image(rgb_g, gt_file_prefix)
+        if visualize_color_wheel:
+            self._show_or_save_image(wheel, fixed_file_name="color_wheel")
+
+    def visualize_overlay_optical_flow_on_event(self, flow, events,
+                                                file_prefix=None, ord=0.5):
+        """Alpha overlay of the flow color on the event image
+        (``visualizer.py:239-268``)."""
+        from PIL import Image
+
+        show, save = self._show, self._save
+        self._show = self._save = False
+        flow = _to_numpy(flow)
+        flow_image = self.visualize_optical_flow(flow[0], flow[1], False, ord=ord)
+        flow_image.putalpha(int(255 * 0.8))
+        ev = _to_numpy(events)
+        if ev.ndim == 2 and ev.shape[1] == 4:
+            event_image = self.visualize_event(ev, grayscale=False).convert("RGB")
+        else:
+            event_image = self.visualize_image(ev).convert("RGB")
+        event_image.putalpha(255 - int(255 * 0.8))
+        flow_image.paste(event_image, None, event_image)
+        self._show, self._save = show, save
+        return self._show_or_save_image(flow_image, file_prefix)
+
+    def visualize_optical_flow_on_event_mask(self, flow, events, file_prefix=None,
+                                             ord=0.5, max_color_on_mask=True,
+                                             mask_color="white",
+                                             mask_morph=False):
+        """Flow colorized only on event pixels (``visualizer.py:270-331``)."""
+        import cv2
+        from PIL import Image
+
+        from .ops.iwe import create_eventmask
+        from .types import events_from_ndarray
+
+        show, save = self._show, self._save
+        self._show = self._save = False
+        flow = _to_numpy(flow)
+        ev = events_from_ndarray(_to_numpy(events))
+        mask = np.asarray(create_eventmask(ev, self._image_size))
+        if mask_morph:
+            element = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3), (1, 1))
+            mask = cv2.morphologyEx(mask.astype(np.uint8)[0], cv2.MORPH_CLOSE,
+                                    element).astype(bool)[None]
+        if max_color_on_mask:
+            mf = flow * mask
+            image = self.visualize_optical_flow(mf[0], mf[1], False, ord=ord)
+        else:
+            image = self.visualize_optical_flow(flow[0], flow[1], False, ord=ord)
+        pil_mask = Image.fromarray((~mask)[0]).convert("1")
+        fill = (255, 255, 255) if mask_color == "white" else (0, 0, 0)
+        solid = Image.new("RGB", image.size, fill)
+        out = Image.composite(solid, image, pil_mask)
+        self._show, self._save = show, save
+        return self._show_or_save_image(out, file_prefix)
+
+    # -- poisson view ------------------------------------------------------------
+    def visualize_poisson_integration(self, flow, file_prefix=None):
+        """(``visualizer.py:419-434``)."""
+        import jax.numpy as jnp
+
+        from .ops.poisson import poisson_reconstruct
+
+        flow = _to_numpy(flow)
+        poisson = np.asarray(poisson_reconstruct(
+            jnp.asarray(flow[1], jnp.float32), jnp.asarray(flow[0], jnp.float32),
+            jnp.zeros(flow[0].shape, jnp.float32)))
+        centered = np.asarray(standardize_image_center(poisson)).astype(np.uint8)
+        return self.visualize_image(centered, file_prefix=file_prefix)
+
+    # -- events -------------------------------------------------------------------
+    def visualize_event(self, events, grayscale=True, background_color=127,
+                        ignore_polarity=False, file_prefix=None):
+        """Signed event accumulation image (``visualizer.py:438-488``)."""
+        ev = _to_numpy(events)
+        x = np.clip(ev[:, 0], 0, self._image_size[0] - 1).astype(np.int32)
+        y = np.clip(ev[:, 1], 0, self._image_size[1] - 1).astype(np.int32)
+        if grayscale:
+            image = np.zeros(self._image_size)
+            if ignore_polarity:
+                pol = np.ones(len(ev))
+            else:
+                pol = ev[:, 3] * 2 - 1 if ev[:, 3].min() == 0 else ev[:, 3]
+            np.add.at(image, (x, y), pol)
+            image = np.clip(image * 20 + background_color, 0, 255).astype(np.uint8)
+        else:
+            image = np.full(self._image_size + (3,), 255, np.uint8)
+            colors = np.where(ev[:, 3:4] > 0, np.array([[255, 0, 0]]),
+                              np.array([[0, 0, 255]])).astype(np.uint8)
+            image[x, y, :] = colors
+        return self._show_or_save_image(image, file_prefix)
+
+    # -- arrays ---------------------------------------------------------------------
+    def save_array(self, array, file_prefix=None, new_prefix=False):
+        """(``visualizer.py:490-511``)."""
+        save_name = self.get_filename_from_prefix(file_prefix).replace("png", "npy")
+        np.save(save_name, _to_numpy(array))
+        if not new_prefix:
+            self.rollback_save_count(file_prefix)
+
+    # -- video assembly ----------------------------------------------------------
+    def visualize_sequential_images_as_video(self, prefix=None, fps: float = 20.0):
+        """All pngs of a prefix → ``{prefix}.mp4`` (``visualizer.py:515-546``)."""
+        prefix = prefix or self.default_prefix
+        files = glob.glob(os.path.join(self.save_dir, f"{prefix}*.png"))
+
+        def index_of(f):
+            m = re.match(rf"{re.escape(prefix)}(\d+)\.png$", os.path.basename(f))
+            return int(m.group(1)) if m else None
+
+        files = sorted([f for f in files if index_of(f) is not None], key=index_of)
+        return write_video(files, os.path.join(self.save_dir, f"{prefix}.mp4"), fps)
+
+    def concat_videos(self, video_prefixes: List[str], out_name: str):
+        """Side-by-side comparison video (``visualizer.py:548-583``)."""
+        paths = [os.path.join(self.save_dir, f"{p}.mp4") for p in video_prefixes]
+        out = os.path.join(self.save_dir, f"{out_name}.mp4")
+        return concat_videos_horizontally(paths, out, labels=video_prefixes)
+
+    # -- optimization history -----------------------------------------------------
+    def visualize_scipy_history(self, cost_history: dict, cost_weight=None,
+                                file_prefix: str = "optimization_steps"):
+        """Loss-curve plot (``visualizer.py:599-616``)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        for k, v in cost_history.items():
+            v = np.asarray(v)
+            if v.size == 0:
+                continue
+            if cost_weight is not None and k in cost_weight:
+                v = v * cost_weight[k]
+            plt.plot(v.reshape(-1), label=k)
+        plt.legend()
+        plt.xlabel("iteration")
+        plt.ylabel("cost")
+        if self._save:
+            plt.savefig(self.get_filename_from_prefix(file_prefix))
+        plt.close()
+
+    def visualize_optuna_history(self, losses, file_prefix: str = "sampler_history"):
+        """Sampler-trial loss scatter (the reference declares but never
+        implements this — ``gml:649``; implemented here)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.plot(np.asarray(losses), ".")
+        plt.xlabel("trial")
+        plt.ylabel("objective")
+        if self._save:
+            plt.savefig(self.get_filename_from_prefix(file_prefix))
+        plt.close()

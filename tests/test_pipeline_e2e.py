@@ -1,0 +1,94 @@
+"""End-to-end pipeline tests on the synthetic dataset (CLI parity)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from event_based_bos_tpu import cli
+
+
+@pytest.fixture()
+def tiny_config(tmp_path):
+    cfg = {
+        "data": {
+            "root": "", "dataset": "SYNTHETIC", "sequence": "plume1",
+            "height": 96, "width": 128, "duration": 0.2, "fps": 30,
+            "events_per_frame": 8000, "max_displacement": 1.5, "warp": False,
+        },
+        "output_dir": str(tmp_path / "out"),
+        "evaluation": {"metrics": ["flow"], "time_list": [[0.03, 0.2]]},
+        "common_params": {"n_frames": 1, "xmin": 0, "xmax": 96,
+                          "ymin": 16, "ymax": 112},
+        "solver": {
+            "filter": {"filters": None, "parameters": {}},
+            "method": "patch_eklt_pyramid2",
+            "warp_direction": "first",
+            "motion_model": "2d-translation",
+            "cost": "hybrid",
+            "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0, "image_gradient": 0.5,
+                                 "flow_norm_pxy": 0.1},
+            "iwe": {"method": "bilinear_vote", "blur_sigma": 3},
+            "optimizer": {"method": "Adam", "n_iter": 30,
+                          "parameters": {"angle": {"min": 0, "max": 6.2832}}},
+            "generative_ml": {
+                "weight_loss_by_event_hist": False, "weight_sigma": 5,
+                "weight_loss_by_inverse_event_hist": True,
+                "optimize_warp": True, "iwe_sigma": 2,
+                "viz_diff_scale": [-0.25, 0.25], "no_polarity": False,
+                "model_image": "current", "use_log_intensity": False,
+                "poisson_model": True,
+            },
+            "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                           "do_event_thresholding": False, "event_thres": 8,
+                           "coarsest_patch_size": 16, "finest_patch_size": 8},
+        },
+        "method": "opencv_flow",
+        "estimation_method": "solver",
+        "params_opencv_flow": {"pyr_scale": 0.5, "levels": 3, "winsize": 10,
+                               "iterations": 2, "poly_n": 5, "poly_sigma": 1.2,
+                               "flags": 0},
+        "params_openpiv": {"deformation_method": "symmetric",
+                           "windowsizes": [32, 16], "overlap": [16, 8],
+                           "MinMax_U_disp": [-20, 20],
+                           "MinMax_V_disp": [-20, 20]},
+    }
+    path = tmp_path / "cfg.yaml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path), str(tmp_path / "out")
+
+
+def test_evaluate_per_frames_end_to_end(tiny_config):
+    cfg_path, out_dir = tiny_config
+    rc = cli.main(["--config_file", cfg_path, "--eval", "--log", "warning"])
+    assert rc == 0
+    # error text files exist, parse, have finite EPE
+    from event_based_bos_tpu.utils import read_flow_error_text
+
+    per_frame, stats = read_flow_error_text(
+        os.path.join(out_dir, "flow_error_per_frame_without_mask.txt"))
+    assert len(per_frame["EPE"]) >= 2
+    assert np.isfinite(stats["EPE"]["mean"])
+    assert {"mean", "rms", "std", "min", "max", "n_data"} <= set(stats["EPE"])
+    # flow dumps exist
+    flows = [f for f in os.listdir(out_dir) if f.startswith("pred_flow")
+             and f.endswith(".npy")]
+    assert flows
+    arr = np.load(os.path.join(out_dir, flows[0]))
+    assert arr.shape == (2, 96, 128)
+    assert np.isfinite(arr).all()
+    # visualization pngs exist for each registered stream
+    for prefix in ("original", "pred_flow", "gt_flow", "pred_masked",
+                   "gt_masked", "pred_flow_poisson"):
+        assert any(f.startswith(prefix) and f.endswith(".png")
+                   for f in os.listdir(out_dir)), prefix
+
+
+def test_sequential_mode(tiny_config):
+    cfg_path, out_dir = tiny_config
+    rc = cli.main(["--config_file", cfg_path, "--log", "warning"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "timestamps_per_frame.txt"))
+    assert any(f.startswith("original") for f in os.listdir(out_dir))
