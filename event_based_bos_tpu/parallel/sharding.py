@@ -1,0 +1,90 @@
+"""Sharded pipeline stages: event-axis IWE reduction + data-parallel solves.
+
+This is the TPU replacement for the (absent) distributed layer of the
+reference (SURVEY §5): events are sharded over the ``event`` mesh axis, each
+chip scatters its shard into a partial polarity-vote image, partial images
+are ``psum``-reduced over ICI, and the per-frame pyramid optimizations run
+data-parallel over the ``data`` axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..solver.generative import (
+    GenerativeSpec,
+    iwe_cache_from_votes,
+    polarity_votes,
+)
+from ..solver.pyramid import PyramidSpec, solve_pyramid
+from ..ops.gradients import frame_gradients
+from ..types import Events
+
+__all__ = ["sharded_polarity_votes", "make_multichip_estimator"]
+
+
+def sharded_polarity_votes(ev: Events, spec: GenerativeSpec,
+                           mesh: jax.sharding.Mesh,
+                           event_axis: str = "event",
+                           data_axis: Optional[str] = "data") -> jax.Array:
+    """Polarity vote images with the event axis sharded across chips.
+
+    ``ev`` fields are ``[B, N]``; each chip votes its local ``N/e`` slice
+    into a private ``[2, H, W]`` image, then the partial images are summed
+    with ``psum`` over the ``event`` axis — the collective rides ICI.
+    Returns ``[B, 2, H, W]`` replicated over ``event``.
+    """
+    in_spec = P(data_axis, event_axis)
+    out_spec = P(data_axis, None, None, None)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(in_spec,) * 5, out_specs=out_spec)
+    def _votes(x, y, t, p, valid):
+        local = Events(x, y, t, p, valid)
+        pol = jax.vmap(lambda e: polarity_votes(e, spec))(local)
+        return jax.lax.psum(pol, event_axis)
+
+    return _votes(ev.x, ev.y, ev.t, ev.p, ev.valid)
+
+
+def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,
+                             donate: bool = False):
+    """Build the jitted multi-chip step for a batch of frames.
+
+    Layout: events ``[B, N]`` sharded ``(data, event)``; frames ``[B, H, W]``
+    and keys sharded ``(data,)``; the ROI mask is replicated.  The IWE
+    reduction runs under ``shard_map`` (explicit ``psum``); the batched
+    pyramid solve is expressed with sharding constraints and partitioned by
+    XLA (pure data parallelism over ``data``).
+
+    Returns ``step(ev, frames, mask, keys) -> (flows [B, 2, H, W], aux)``.
+    """
+    gen = spec.gen
+
+    def step(ev: Events, frames: jax.Array, mask: jax.Array, keys: jax.Array):
+        pol = sharded_polarity_votes(ev, gen, mesh)
+        pol = jax.lax.with_sharding_constraint(
+            pol, NamedSharding(mesh, P("data")))
+
+        def solve_one(pol_i, frame_i, key_i):
+            hist, weights, weight_inverse = iwe_cache_from_votes(pol_i, gen)
+            gx, gy = frame_gradients(frame_i.astype(gen.dtype),
+                                     ksize=gen.sobel_ksize,
+                                     use_log_intensity=gen.use_log_intensity)
+            flow, aux = solve_pyramid(hist, weights, weight_inverse, gx, gy,
+                                      mask, key_i, spec)
+            return flow, aux["loss_history"][-1]
+
+        flows, losses = jax.vmap(solve_one)(pol, frames, keys)
+        flows = jax.lax.with_sharding_constraint(
+            flows, NamedSharding(mesh, P("data")))
+        return flows, losses
+
+    return jax.jit(step)

@@ -317,3 +317,48 @@ class TestImageOps:
         img = jnp.ones((4, 4), jnp.float64)
         v = sample_bilinear(img, jnp.array([-0.5]), jnp.array([1.0]))
         np.testing.assert_allclose(np.asarray(v), [0.5])
+
+
+class TestStencilWarp:
+    def test_stencil_matches_gather_warp(self):
+        from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (16, 22)))
+        flow = jnp.asarray(rng.uniform(-1, 1, (2, 16, 22)))
+        got = warp_image_stencil(img, flow, radius=1)
+        want = warp_image_forward(img, flow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+    def test_stencil_radius2(self):
+        from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(0, 1, (16, 22)))
+        flow = jnp.asarray(rng.uniform(-2, 2, (2, 16, 22)))
+        got = warp_image_stencil(img, flow, radius=2)
+        want = warp_image_forward(img, flow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+    def test_stencil_scalar_shift(self):
+        from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+
+        img = jnp.asarray(np.arange(30, dtype=np.float64).reshape(5, 6))
+        shift = jnp.array([0.7, -0.3])
+        got = warp_image_stencil(img, shift, radius=1)
+        want = warp_image_shift(img, shift)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+    def test_stencil_gradient_flows(self):
+        from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(0, 1, (8, 10)))
+
+        def f(u):
+            flow = jnp.stack([u, -u])
+            return jnp.sum(warp_image_stencil(img, flow) ** 2)
+
+        g = jax.grad(f)(jnp.full((8, 10), 0.3))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
