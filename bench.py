@@ -66,15 +66,21 @@ def measure_tpu(events, frame, repeats=5):
 
     fn = jax.jit(functools.partial(estimate_frame, spec=spec))
     flow, _aux = fn(ev, fr, mask, key)  # compile
-    flow.block_until_ready()
+    _ = float(flow.sum())  # NOTE: on the axon remote backend
+    # block_until_ready does not actually synchronize; a scalar device→host
+    # fetch is the only reliable barrier.  Subtract its round-trip latency.
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(flow.sum())
+    fetch_s = (time.perf_counter() - t0) / 3
     times = []
     for i in range(repeats):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         flow, _aux = fn(ev, fr, mask, k)
-        flow.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), flow
+        _ = float(flow.sum())
+        times.append(time.perf_counter() - t0 - fetch_s)
+    return float(max(np.median(times), 1e-9)), flow
 
 
 def measure_iwe_throughput(events, repeats=10):
@@ -88,12 +94,16 @@ def measure_iwe_throughput(events, repeats=10):
     ev = events_from_ndarray(events, capacity=CAPACITY)
     fn = jax.jit(lambda e: create_polarity_iwe(e, (H, W)))
     out = fn(ev)
-    out.block_until_ready()
+    _ = float(out.sum())
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(out.sum())
+    fetch_s = (time.perf_counter() - t0) / 3
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fn(ev)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / repeats
+        _ = float(out.sum())
+    dt = max((time.perf_counter() - t0) / repeats - fetch_s, 1e-9)
     return CAPACITY / dt
 
 

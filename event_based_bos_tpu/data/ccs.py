@@ -156,7 +156,35 @@ class CcsDataLoader(DataLoaderBase):
         return float(self._time_cache[index])
 
     def time_to_index(self, time: float) -> int:
-        return int(np.searchsorted(self._time_cache, time)) - 1
+        from .. import runtime
+
+        # native binary search over the int32 µs stream (avoids the float64
+        # time-cache scan of the reference, ``ccs.py:345-357``).  The first
+        # integer µs >= time·1e6 gives identical indices to the reference's
+        # float-seconds searchsorted.
+        import math
+
+        return runtime.searchsorted(self.event_data["t"],
+                                    int(math.ceil(time * 1e6 - 1e-6))) - 1
+
+    def load_event_batch(self, start_index, end_index, capacity, dtype=None):
+        """Native padded window extraction straight from the HDF5 SoA."""
+        import jax.numpy as jnp
+
+        from .. import runtime
+        from ..types import Events
+
+        p = self.event_data["p"]
+        if p.dtype != np.uint8:
+            p = p.astype(np.uint8)
+            self.event_data["p"] = p
+        x, y, t, p5, valid, _n = runtime.window_padded(
+            self.event_data["x"], self.event_data["y"], self.event_data["t"],
+            p, start_index, end_index, capacity)
+        dt = dtype or jnp.float32
+        return Events(jnp.asarray(x, dt), jnp.asarray(y, dt),
+                      jnp.asarray(t, dt), jnp.asarray(p5, dt),
+                      jnp.asarray(valid.astype(bool)))
 
     # -- frames ---------------------------------------------------------------
     def _ensure_image_cache(self):

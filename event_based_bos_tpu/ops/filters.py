@@ -194,6 +194,41 @@ class EventFilter:
         self.continuous_update = bool(self.params.get("BAF_continuous_update"))
         self.exact_baf = exact_baf
         self.time_map = None
+        self.np_time_map = None
+
+    def process_numpy(self, events):
+        """Host-side pipeline over a raw ``(n, 4)`` array using the native
+        C++ runtime (exact BAF/HOT at memory speed) — preferred before the
+        device upload.  Returns the filtered ndarray."""
+        import numpy as np
+
+        from .. import runtime
+
+        for name in self.filters:
+            if len(events) < 10:
+                return events
+            if name == "CROP":
+                m = ((events[:, 0] >= self.params["xmin"])
+                     & (events[:, 0] < self.params["xmax"])
+                     & (events[:, 1] >= self.params["ymin"])
+                     & (events[:, 1] < self.params["ymax"]))
+                events = events[m]
+            elif name == "BAF":
+                keep, tmap = runtime.baf_filter(
+                    events, self.image_shape, self.params["BAF_dt"],
+                    self.params.get("BAF_ksize", 1),
+                    self.params.get("BAF_num_support_event", 1),
+                    time_map=self.np_time_map)
+                self.np_time_map = tmap if self.continuous_update else None
+                events = events[keep]
+            elif name == "HOT":
+                keep = runtime.hot_pixel_filter(
+                    events, self.image_shape,
+                    self.params.get("HOT_thresh", 10))
+                events = events[keep]
+            else:
+                raise KeyError(f"Unknown filter {name!r}")
+        return events
 
     def process(self, ev: Events) -> Events:
         for name in self.filters:

@@ -155,7 +155,10 @@ def propagate_flow_bilinear(flow_0: jax.Array, dt: float) -> jax.Array:
     """Push flow vectors forward by ``dt`` with bilinear-vote scatter.
 
     Parity: ``propagate_flow_to_voxel_*`` method "bilinear"
-    (``flow_utils.py:227-314``).
+    (``flow_utils.py:227-314``).  NOTE: the reference pairs the fractional
+    weights with *transposed* corners here — the (row+1, col) corner gets the
+    column-fraction weight and vice versa (``flow_utils.py:259-283``), unlike
+    its own IWE bilinear vote.  Replicated verbatim for parity.
     """
     _, h, w = flow_0.shape
     gx, gy = jnp.meshgrid(jnp.arange(h, dtype=flow_0.dtype),
@@ -168,8 +171,8 @@ def propagate_flow_bilinear(flow_0: jax.Array, dt: float) -> jax.Array:
     fy = ty - y1
     vals = flow_0.reshape(2, -1)
     out = jnp.zeros((2, h * w), flow_0.dtype)
-    for ddx, ddy, wgt in ((0, 0, (1 - fx) * (1 - fy)), (0, 1, (1 - fx) * fy),
-                          (1, 0, fx * (1 - fy)), (1, 1, fx * fy)):
+    for ddx, ddy, wgt in ((0, 0, (1 - fx) * (1 - fy)), (0, 1, fx * (1 - fy)),
+                          (1, 0, (1 - fx) * fy), (1, 1, fx * fy)):
         xi = x1 + ddx
         yi = y1 + ddy
         inb = (xi >= 0) & (xi < h) & (yi >= 0) & (yi < w)

@@ -119,7 +119,20 @@ class SolverBase:
     # -- main API ----------------------------------------------------------------
     def preprocess(self, events):
         """Filter events; returns (events, time_period)
-        (``base.py:123-139``)."""
+        (``base.py:123-139``).
+
+        Raw ndarray input takes the host path: the native C++ filters run
+        before the padded device upload; :class:`Events` input filters on
+        device.
+        """
+        if self.preproc_filter and isinstance(events, np.ndarray):
+            num_orig = len(events)
+            period = float(events[:, 2].max() - events[:, 2].min()) if num_orig else 0.0
+            filtered = self.filter_set.process_numpy(events)
+            logger.info("After preprocessing %d out of %d.", len(filtered),
+                        num_orig)
+            return self._to_events(filtered), period
+
         ev = self._to_events(events)
         num_orig = int(ev.count())
         from ..ops.events import time_period
