@@ -43,8 +43,20 @@ def validate_image(image: np.ndarray, config: dict) -> np.ndarray:
 
 
 def evaluate_per_frames(config, loader, solv, viz):
-    """Frame-paced evaluation loop (``bos_event.py:109-220``)."""
+    """Frame-paced evaluation loop (``bos_event.py:109-220``).
+
+    Extensions over the reference: config key ``resume: true`` makes the loop
+    restartable mid-sequence through the per-frame result manifest
+    (:mod:`event_based_bos_tpu.utils.checkpoint`), and ``profile: true``
+    reports per-section host timings.
+    """
     from . import frame_flow, utils
+    from .utils.checkpoint import FrameResultStore
+    from .utils.tracing import Timer
+
+    store = (FrameResultStore(config["output_dir"])
+             if config.get("resume") else None)
+    timer = Timer() if config.get("profile") else None
 
     eval_config = config["evaluation"]
     common = config["common_params"]
@@ -65,6 +77,11 @@ def evaluate_per_frames(config, loader, solv, viz):
         ind_end = loader.time_to_image_index(t_end) - eval_dt
         logger.info("Evaluating frames %d..%d", ind_start, ind_end)
         for i1 in range(ind_start, ind_end):
+            if store is not None and i_frame in store:
+                logger.info("Frame %d already computed — skipping (resume).",
+                            i_frame)
+                i_frame += 1
+                continue
             i2 = i1 + eval_dt
             im1, t1 = loader.load_image(i1)
             im2, t2 = loader.load_image(i2)
@@ -103,9 +120,16 @@ def evaluate_per_frames(config, loader, solv, viz):
                 batch_for_gt = remove_event(bg, 0, 120, 990, 1050).to_numpy()
 
             gt_time_scale = t2 - t1
-            filtered, batch_time_scale = solv.preprocess(batch)
-            estimation = solv.estimate(filtered, gt_flow, frame=im1,
-                                       background=im0)
+            if timer is not None:
+                with timer.section("preprocess"):
+                    filtered, batch_time_scale = solv.preprocess(batch)
+                with timer.section("estimate"):
+                    estimation = solv.estimate(filtered, gt_flow, frame=im1,
+                                               background=im0)
+            else:
+                filtered, batch_time_scale = solv.preprocess(batch)
+                estimation = solv.estimate(filtered, gt_flow, frame=im1,
+                                           background=im0)
             scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
 
             solv.visualize_original_sequential(batch_for_gt, filtered)
@@ -127,7 +151,12 @@ def evaluate_per_frames(config, loader, solv, viz):
                                          "flow_error_per_frame_with_mask.txt")
             solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
                                          "timestamps_per_frame.txt")
+            if store is not None:
+                store.record(i_frame, flow=estimation, t1=float(t1),
+                             t2=float(t2), **err_nomask)
             i_frame += 1
+    if timer is not None:
+        logger.info("Per-section host timings:\n%s", timer.report())
 
 
 def evaluate_flow_on_event_grids(config, loader, viz):
@@ -232,6 +261,12 @@ def main(argv=None):
     data_config = config["data"]
     save_dir = config["output_dir"]
     utils.save_config(save_dir, args.config_file, args.log.upper())
+
+    if config.get("debug_nans"):
+        # NaN sanitizer (SURVEY §5 "race detection/sanitizers" analogue)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     loader = data.collections[data_config["dataset"]](config=data_config)
     loader.set_sequence(data_config["sequence"])
