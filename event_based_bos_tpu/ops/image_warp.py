@@ -93,7 +93,8 @@ def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
     (``configs/hot_plate1.yaml:73-79``), so ``radius=1`` is exact there.
 
     Args:
-        image: ``[H, W]``.
+        image: ``[..., H, W]`` — leading axes share the same flow (the two
+            frame-gradient images warp in one pass with shared weights).
         flow: ``[2, H, W]`` (row, col) displacement, or ``[2]`` global shift.
     """
     h, w = image.shape[-2:]
@@ -102,25 +103,25 @@ def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
         v = jnp.broadcast_to(flow[1], (h, w))
     else:
         u, v = flow[0], flow[1]
+
+    def shift2(img, orow, ocol):
+        pads = [(0, 0)] * (img.ndim - 2)
+        if orow > 0:
+            img = jnp.pad(img[..., orow:, :], pads + [(0, orow), (0, 0)])
+        elif orow < 0:
+            img = jnp.pad(img[..., :orow, :], pads + [(-orow, 0), (0, 0)])
+        if ocol > 0:
+            img = jnp.pad(img[..., :, ocol:], pads + [(0, 0), (0, ocol)])
+        elif ocol < 0:
+            img = jnp.pad(img[..., :, :ocol], pads + [(0, 0), (-ocol, 0)])
+        return img
+
     out = jnp.zeros_like(image)
     for orow in range(-radius, radius + 1):
         wr = jnp.maximum(0.0, 1.0 - jnp.abs(u + orow))
-        # shift image content by (-orow) rows: out uses image(r+orow, c+ocol)
-        if orow > 0:
-            shifted_r = jnp.pad(image[orow:, :], ((0, orow), (0, 0)))
-        elif orow < 0:
-            shifted_r = jnp.pad(image[:orow, :], ((-orow, 0), (0, 0)))
-        else:
-            shifted_r = image
         for ocol in range(-radius, radius + 1):
             wc = jnp.maximum(0.0, 1.0 - jnp.abs(v + ocol))
-            if ocol > 0:
-                sh = jnp.pad(shifted_r[:, ocol:], ((0, 0), (0, ocol)))
-            elif ocol < 0:
-                sh = jnp.pad(shifted_r[:, :ocol], ((0, 0), (-ocol, 0)))
-            else:
-                sh = shifted_r
-            out = out + wr * wc * sh
+            out = out + wr * wc * shift2(image, orow, ocol)
     return out
 
 

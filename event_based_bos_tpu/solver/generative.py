@@ -56,6 +56,19 @@ __all__ = [
 NORM_EPS = 1e-4  # prediction L2-normalization epsilon (``gml:486``)
 
 
+def _safe_frobenius(x: jax.Array) -> jax.Array:
+    """Frobenius norm with a zero subgradient at exactly-zero input.
+
+    The plain (vx, vy) model initializes at zero, making the prediction
+    identically zero; ``jnp.linalg.norm`` then back-propagates NaN (torch
+    does the same — the reference's loop catches the exception and silently
+    returns the init, ``gml:334-338``).  This fixes that failure mode.
+    """
+    sq = jnp.sum(x * x)
+    zero = sq == 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+
+
 @dataclasses.dataclass(frozen=True)
 class GenerativeSpec:
     """Static configuration of the generative model (hashable, jit-static).
@@ -271,8 +284,9 @@ def predict_increment(
     """
     if spec.optimize_warp and pxy is not None:
         if spec.warp_stencil_radius > 0:
-            gx = warp_image_stencil(gx, pxy, spec.warp_stencil_radius)
-            gy = warp_image_stencil(gy, pxy, spec.warp_stencil_radius)
+            gxy = warp_image_stencil(jnp.stack([gx, gy]), pxy,
+                                     spec.warp_stencil_radius)
+            gx, gy = gxy[0], gxy[1]
         else:
             gx = warp_image_forward(gx, pxy)
             gy = warp_image_forward(gy, pxy)
@@ -281,7 +295,7 @@ def predict_increment(
         pred = jnp.abs(pred)
     if weights is not None:
         pred = pred * weights
-    pred = pred / (jnp.linalg.norm(pred) + NORM_EPS)
+    pred = pred / (_safe_frobenius(pred) + NORM_EPS)
     if mask is not None:
         pred = pred * mask
     return pred
@@ -384,7 +398,7 @@ def scalar_objective(
         pred = jnp.abs(pred)
     if weights_roi is not None:
         pred = pred * weights_roi
-    pred = pred / (jnp.linalg.norm(pred) + NORM_EPS)
+    pred = pred / (_safe_frobenius(pred) + NORM_EPS)
 
     roi_shape = (x1 - x0, y1 - y0)
     flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None], (2,) + roi_shape)

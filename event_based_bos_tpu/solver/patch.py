@@ -31,6 +31,7 @@ from ..types import Events, PatchGrid
 from .generative import (
     NORM_EPS,
     GenerativeSpec,
+    _safe_frobenius,
     iwe_cache,
     measured_increment,
     patch_to_dense,
@@ -97,7 +98,7 @@ def patch_event_counts(ev: Events, grid: PatchGrid) -> jax.Array:
     xi = jnp.clip(ev.x.astype(jnp.int32), 0, h - 1)
     yi = jnp.clip(ev.y.astype(jnp.int32), 0, w - 1)
     flat = jnp.zeros((h * w,), jnp.float32)
-    flat = flat.at[xi * w + yi].add(jnp.where(ev.valid, 1.0, 0.0))
+    flat = flat.at[xi * w + yi].add(jnp.where(ev.valid, jnp.float32(1), jnp.float32(0)))
     hist = flat.reshape(h, w)
     sat = jnp.pad(jnp.cumsum(jnp.cumsum(hist, 0), 1), ((1, 0), (1, 0)))
 
@@ -150,7 +151,7 @@ def _patch_objective(theta, measured_p, gx_p, gy_p, wi_p, w_p, spec: PatchSpec):
         pred = jnp.abs(pred)
     if w_p is not None:
         pred = pred * w_p
-    pred = pred / (jnp.linalg.norm(pred) + NORM_EPS)
+    pred = pred / (_safe_frobenius(pred) + NORM_EPS)
 
     flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None],
                             (2,) + gx_p.shape)

@@ -1,0 +1,139 @@
+"""Tests for the cost registry and on-device optimizers."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from event_based_bos_tpu import costs
+from event_based_bos_tpu.optim import (
+    run_first_order,
+    run_lbfgs,
+    run_sampler,
+)
+
+
+class TestCosts:
+    def test_diff_norm_is_matrix_1_norm(self):
+        import torch
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(12, 17))
+        b = rng.normal(size=(12, 17))
+        got = float(costs.diff_norm({"prediction": jnp.asarray(a),
+                                     "measurement": jnp.asarray(b)}))
+        want = float(torch.linalg.norm(torch.from_numpy(a - b), ord=1))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_flow_norm(self):
+        f = jnp.stack([3 * jnp.ones((4, 5)), 4 * jnp.ones((4, 5))])
+        assert abs(float(costs.flow_norm({"flow": f})) - 5.0) < 1e-6
+
+    def test_flow_norm_zero_gradient_safe(self):
+        g = jax.grad(lambda p: costs.flow_norm_pxy({"pxy": p}))(
+            jnp.zeros((2, 4, 5)))
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_image_gradient_matches_torch(self):
+        import torch
+
+        rng = np.random.default_rng(1)
+        f = rng.normal(size=(2, 9, 11))
+        w = rng.uniform(0.5, 1.5, (9, 11))
+        got = float(costs.image_gradient({"flow": jnp.asarray(f),
+                                          "weights": jnp.asarray(w),
+                                          "omit_boundary": True}))
+        tf = torch.from_numpy(f)
+        tw = torch.from_numpy(w)
+        gx = torch.gradient(tf, dim=1)[0] * tw
+        gy = torch.gradient(tf, dim=2)[0] * tw
+        want = float(torch.mean(torch.abs(gx) + torch.abs(gy)))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_hybrid_inv_weight_and_terms(self):
+        fn = costs.hybrid_cost({"flow_norm": "inv", "diff_norm": 2.0})
+        arg = {"flow": 2 * jnp.ones((2, 3, 3)),
+               "prediction": jnp.ones((3, 3)),
+               "measurement": jnp.zeros((3, 3))}
+        total, terms = fn(arg)
+        fl = float(terms["flow_norm"])
+        dn = float(terms["diff_norm"])
+        np.testing.assert_allclose(float(total), 1.0 / fl + 2.0 * dn, rtol=1e-6)
+
+    def test_maximize_direction(self):
+        fn = costs.hybrid_cost({"flow_norm": 1.0}, direction="maximize")
+        total, _ = fn({"flow": jnp.ones((2, 3, 3))})
+        assert float(total) < 0
+
+    def test_required_keys(self):
+        keys = costs.required_keys({"diff_norm": 1.0, "flow_norm_pxy": 0.1})
+        assert "prediction" in keys and "pxy" in keys
+
+    def test_fwl_identity(self):
+        iwe = jnp.asarray(np.random.default_rng(0).uniform(0, 3, (8, 9)))
+        v = costs.normalized_image_variance({"orig_iwe": iwe, "iwe": iwe})
+        np.testing.assert_allclose(float(v), 1.0, rtol=1e-5)
+
+
+def _quadratic(x):
+    target = jnp.asarray([1.0, -2.0, 0.5])
+    return jnp.sum((x - target) ** 2)
+
+
+class TestOptim:
+    def test_adam_converges(self):
+        res = run_first_order(_quadratic, jnp.zeros(3), 600, "Adam", lr=0.05)
+        np.testing.assert_allclose(np.asarray(res.param), [1.0, -2.0, 0.5],
+                                   atol=0.05)
+        assert res.history.shape == (600,)
+        assert float(res.history[-1]) < float(res.history[0])
+
+    @pytest.mark.parametrize("method", ["SGD", "RMSprop", "AdamW", "NAdam"])
+    def test_other_first_order_methods(self, method):
+        res = run_first_order(_quadratic, jnp.zeros(3), 300, method, lr=0.05)
+        assert float(res.loss) < float(res.history[0])
+
+    def test_lbfgs_converges_fast(self):
+        res = run_lbfgs(_quadratic, jnp.zeros(3), 25)
+        np.testing.assert_allclose(np.asarray(res.param), [1.0, -2.0, 0.5],
+                                   atol=1e-3)
+
+    def test_steplr_schedule(self):
+        # lr drops by 10x after lr_step steps: the late iterates barely move
+        res_const = run_first_order(_quadratic, jnp.zeros(3), 100, "SGD",
+                                    lr=0.1, lr_step=100)
+        res_decay = run_first_order(_quadratic, jnp.zeros(3), 100, "SGD",
+                                    lr=0.1, lr_step=10, lr_decay=0.1,
+                                    track_best=False)
+        # decayed run must progress less overall
+        assert float(res_decay.history[-1]) > float(res_const.history[-1])
+
+    def test_track_best_vs_last(self):
+        # noisy objective: best-iterate <= final-iterate loss
+        key = jax.random.PRNGKey(0)
+
+        def noisy(x):
+            return _quadratic(x) + 0.1 * jnp.sin(37.0 * jnp.sum(x))
+
+        best = run_first_order(noisy, jnp.zeros(3), 200, "Adam", lr=0.1,
+                               track_best=True)
+        last = run_first_order(noisy, jnp.zeros(3), 200, "Adam", lr=0.1,
+                               track_best=False)
+        assert float(noisy(best.param)) <= float(noisy(last.param)) + 1e-6
+
+    @pytest.mark.parametrize("sampler", ["random", "grid", "TPE"])
+    def test_samplers(self, sampler):
+        lo = jnp.array([-3.0, -3.0, -3.0])
+        hi = jnp.array([3.0, 3.0, 3.0])
+        res = run_sampler(_quadratic, (lo, hi), 512, sampler,
+                          jax.random.PRNGKey(0))
+        assert float(res.loss) < 1.0
+        assert np.isfinite(np.asarray(res.param)).all()
+
+    def test_aux_history(self):
+        def obj(x):
+            return _quadratic(x), {"extra": jnp.sum(x)}
+
+        res = run_first_order(obj, jnp.zeros(3), 50, "Adam", lr=0.05,
+                              has_aux=True)
+        assert res.aux_history["extra"].shape == (50,)
