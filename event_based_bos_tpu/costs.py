@@ -122,6 +122,18 @@ def image_variance(arg: dict) -> jax.Array:
     return jnp.var(arg["iwe"])
 
 
+def gradient_magnitude(arg: dict) -> jax.Array:
+    """Mean squared gradient magnitude of the IWE (contrast measure).
+
+    The second classical CMax objective (Gallego et al.): sharp IWEs have
+    strong edges.  Uses central differences.
+    """
+    iwe = arg["iwe"]
+    gx = central_gradient(iwe, axis=-2)
+    gy = central_gradient(iwe, axis=-1)
+    return jnp.mean(gx**2 + gy**2)
+
+
 def normalized_image_variance(arg: dict) -> jax.Array:
     """FWL ratio ``Var(IWE_orig) / Var(IWE)`` — < 1 is better.
 
@@ -141,6 +153,7 @@ functions: Dict[str, Callable[[dict], jax.Array]] = {
     "total_variation": total_variation,
     "charbonnier": charbonnier,
     "image_variance": image_variance,
+    "gradient_magnitude": gradient_magnitude,
     "normalized_image_variance": normalized_image_variance,
 }
 
@@ -152,6 +165,7 @@ _REQUIRED_KEYS = {
     "total_variation": ["flow"],
     "charbonnier": ["prediction", "measurement"],
     "image_variance": ["iwe"],
+    "gradient_magnitude": ["iwe"],
     "normalized_image_variance": ["orig_iwe", "iwe"],
 }
 

@@ -449,9 +449,61 @@ class PatchEkltPyramid2(SolverBase):
         return self._orient_flow(np.asarray(flow))
 
 
+class ContrastMaximization(SolverBase):
+    """CMax solver facade (events-only flow; the solver the reference's
+    configs README documents but its code never shipped).
+
+    Config: ``solver.cmax`` section with ``contrast_weights``, ``smoothness``,
+    ``iwe_sigma``; ``motion_model`` / ``optimizer`` reuse the common keys.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        from .cmax import CmaxSpec, estimate_frame_cmax
+
+        opt = self.slv_config.get("optimizer", {})
+        cm = self.slv_config.get("cmax", {})
+        pe = self.slv_config.get("patch_eklt", {})
+        cw = cm.get("contrast_weights", {"image_variance": 1.0})
+        bounds = tuple(
+            (float(v["min"]), float(v["max"]))
+            for v in opt.get("parameters", {}).values()) or ((-30, 30),) * 2
+        self.spec = CmaxSpec(
+            image_size=self.orig_image_shape,
+            roi=(self.crop_xmin, self.crop_xmax, self.crop_ymin,
+                 self.crop_ymax),
+            motion_model=self.slv_config.get("motion_model", "dense-flow"),
+            contrast_weights=tuple(cw.items()),
+            smoothness=float(cm.get("smoothness", 0.01)),
+            iwe_sigma=float(cm.get("iwe_sigma", 1.0)),
+            direction=self.slv_config.get("warp_direction", "middle"),
+            coarsest_patch=int(pe.get("coarsest_patch_size", 64)),
+            finest_patch=int(pe.get("finest_patch_size", 16)),
+            n_iter=int(opt.get("n_iter", 240)),
+            method=opt.get("method", "Adam"),
+            lr=float(opt.get("lr", 0.05)),
+            param_bounds=bounds,
+            dtype=self.dtype,
+        )
+        self._estimator = estimate_frame_cmax
+        self._jitted = {}
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        ev = self._to_events(events)
+        if ev.capacity not in self._jitted:
+            self._jitted[ev.capacity] = jax.jit(
+                functools.partial(self._estimator, spec=self.spec))
+        flow, aux = self._jitted[ev.capacity](ev, None, self._next_key())
+        self.iter_cnt += 1
+        # CMax flow is already the pattern displacement; the "reference"
+        # orientation (negated generative fit) does not apply here.
+        return np.asarray(flow)
+
+
 collections = {
     "generative_max_likelihood": GenerativeMaximumLikelihood,
     "patch_eklt": PatchEklt,
     "patch_eklt_dependent": PatchEkltDependent,
     "patch_eklt_pyramid2": PatchEkltPyramid2,
+    "contrast_maximization": ContrastMaximization,
 }

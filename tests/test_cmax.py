@@ -1,0 +1,113 @@
+"""Tests for the contrast-maximization solver family."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from event_based_bos_tpu import events_from_ndarray
+from event_based_bos_tpu.ops.iwe import bilinear_vote
+from event_based_bos_tpu.ops.warp import warp_event_2dof, calculate_reftime
+from event_based_bos_tpu.solver.cmax import (
+    CmaxSpec,
+    contrast_loss,
+    estimate_frame_cmax,
+    solve_cmax_dense,
+    solve_cmax_translation,
+)
+
+H, W = 48, 64
+
+
+def moving_edge_events(vx, vy, n=6000, seed=0):
+    """Events from a rigidly translating dot pattern (no aperture problem)."""
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 1, n))
+    x0 = rng.choice(np.arange(6, H - 14, 4), n).astype(float)
+    y0 = rng.choice(np.arange(6, W - 14, 5), n).astype(float)
+    x = x0 + vx * t + rng.normal(0, 0.1, n)
+    y = y0 + vy * t + rng.normal(0, 0.1, n)
+    p = np.ones(n)
+    return np.stack([x, y, t, p], 1)
+
+
+class TestTranslationCmax:
+    def test_recovers_motion_adam(self):
+        vx, vy = 4.0, -6.0
+        evn = moving_edge_events(vx, vy)
+        ev = events_from_ndarray(evn)
+        spec = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                        n_iter=200, lr=0.5, iwe_sigma=1.0)
+        motion, res = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec)
+        m = np.asarray(motion)
+        # warp that sharpens = −true displacement
+        np.testing.assert_allclose(m, [-vx, -vy], atol=1.0)
+
+    def test_sampler_and_lbfgs(self):
+        vx, vy = 3.0, 5.0
+        evn = moving_edge_events(vx, vy, seed=1)
+        ev = events_from_ndarray(evn)
+        spec_s = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                          method="grid", n_iter=400,
+                          param_bounds=((-10, 10), (-10, 10)))
+        m_s, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec_s)
+        np.testing.assert_allclose(np.asarray(m_s), [-vx, -vy], atol=1.5)
+
+        spec_l = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                          method="BFGS", n_iter=60)
+        m0 = jnp.asarray(np.asarray(m_s), spec_l.dtype)
+        m_l, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec_l,
+                                        x0=m0)
+        np.testing.assert_allclose(np.asarray(m_l), [-vx, -vy], atol=1.0)
+
+    def test_contrast_improves(self):
+        evn = moving_edge_events(5.0, 2.0, seed=2)
+        ev = events_from_ndarray(evn)
+        spec = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                        n_iter=150, lr=0.5)
+        motion, res = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec)
+        ref_time = calculate_reftime(ev, "middle")
+        iwe0 = bilinear_vote(ev, (H, W))
+        warped = warp_event_2dof(ev, motion, ref_time, normalize_t=True)
+        iwe1 = bilinear_vote(warped, (H, W))
+        assert float(jnp.var(iwe1)) > 1.5 * float(jnp.var(iwe0))
+
+    def test_gradient_magnitude_cost(self):
+        evn = moving_edge_events(4.0, 0.0, seed=3)
+        ev = events_from_ndarray(evn)
+        spec = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                        contrast_weights=(("gradient_magnitude", 1.0),),
+                        n_iter=200, lr=0.5)
+        motion, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec)
+        np.testing.assert_allclose(np.asarray(motion), [-4.0, 0.0], atol=1.2)
+
+
+class TestDenseCmax:
+    def test_dense_estimate_runs_and_sharpenss(self):
+        evn = moving_edge_events(3.0, -4.0, n=10000, seed=4)
+        ev = events_from_ndarray(evn)
+        spec = CmaxSpec(image_size=(H, W), motion_model="dense-flow",
+                        coarsest_patch=32, finest_patch=16, n_iter=160,
+                        lr=0.5, smoothness=0.02)
+        flow, aux = estimate_frame_cmax(ev, None, jax.random.PRNGKey(0), spec)
+        assert flow.shape == (2, H, W)
+        f = np.asarray(flow)
+        # dense-flow warp uses x − dt·flow: sharpening flow ≈ +v
+        assert abs(np.median(f[0]) - 3.0) < 1.5, np.median(f[0])
+        assert abs(np.median(f[1]) + 4.0) < 1.5, np.median(f[1])
+
+    def test_facade(self):
+        from event_based_bos_tpu.solver import collections
+
+        evn = moving_edge_events(2.0, 2.0, seed=5)
+        cfg = {"filter": {"filters": None,
+                          "parameters": {"xmin": 0, "xmax": H, "ymin": 0,
+                                         "ymax": W}},
+               "method": "contrast_maximization",
+               "motion_model": "2d-translation",
+               "optimizer": {"method": "Adam", "n_iter": 120, "lr": 0.5}}
+        solv = collections["contrast_maximization"]((H, W), (H, W), {}, cfg,
+                                                    None)
+        flow = solv.estimate(evn, None)
+        assert flow.shape == (2, H, W)
+        np.testing.assert_allclose(flow[:, 0, 0], [2.0, 2.0], atol=1.2)
