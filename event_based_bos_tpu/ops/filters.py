@@ -53,7 +53,9 @@ def background_activity_filter(
     """
     h, w = image_shape
     if time_map is None:
-        time_map = jnp.zeros(image_shape, jnp.float32)
+        time_map = jnp.zeros(image_shape, ev.t.dtype)
+    else:
+        time_map = time_map.astype(ev.t.dtype)
     k = int(ksize)
     win = 2 * k + 1
 

@@ -72,6 +72,14 @@ class CmaxSpec:
     param_bounds: Tuple[Tuple[float, float], ...] = ((-30.0, 30.0),
                                                      (-30.0, 30.0))
     dtype: jnp.dtype = jnp.float32
+    # Time-binned dense CMax: >0 scatters events ONCE into `time_bins`
+    # per-bin histograms and runs the optimization loop as pure stencil
+    # image warps — no per-event gather/scatter inside the loop (the
+    # per-event path costs ~60 ms/iteration at 0.5 M events on TPU v5e;
+    # the binned path runs at generative-loop speed).  0 = exact per-event.
+    time_bins: int = 16
+    # stencil radius for the binned warp: must cover max |dt·flow| per bin
+    warp_radius: int = 2
 
     @property
     def n_scales(self) -> int:
@@ -125,16 +133,67 @@ def solve_cmax_translation(ev: Events, key: jax.Array, spec: CmaxSpec,
     return result.param, result
 
 
+def binned_histograms(ev: Events, spec: CmaxSpec):
+    """Scatter events once into ``time_bins`` histograms + per-bin dt.
+
+    ``dt_b`` is the bin center in warp-normalized time (direction-relative,
+    matching ``calculate_dt(..., normalize_t=True)``): for ``"middle"`` the
+    centers span (−0.5, 0.5).
+    """
+    from ..ops.events import _masked_min_max
+
+    b = spec.time_bins
+    tmin, tmax = _masked_min_max(ev.t, ev.valid)
+    frac = jnp.clip((ev.t - tmin) / jnp.maximum(tmax - tmin, 1e-30), 0.0, 1.0)
+    bins = jnp.clip(jnp.floor(frac * b).astype(jnp.int32), 0, b - 1)
+
+    hists = []
+    for i in range(b):
+        hists.append(bilinear_vote(ev.mask_where(bins == i), spec.image_size))
+    hists = jnp.stack(hists)
+    alias = {"first": 0.0, "middle": 0.5, "last": 1.0}
+    ref_frac = alias.get(spec.direction, 0.5) if isinstance(spec.direction, str) \
+        else float(spec.direction)
+    dt = (jnp.arange(b, dtype=spec.dtype) + 0.5) / b - ref_frac
+    return hists, dt
+
+
+def binned_iwe(hists: jax.Array, dt: jax.Array, flow: jax.Array,
+               spec: CmaxSpec) -> jax.Array:
+    """IWE of the binned representation under a candidate dense flow.
+
+    Event mass in bin b displaces by ``−dt_b·flow``; the equivalent image
+    operation is the gather-free stencil warp with shift ``−dt_b·flow``.
+    """
+    from ..ops.image_warp import warp_image_stencil
+
+    def one(h, d):
+        return warp_image_stencil(h, -d * flow, spec.warp_radius)
+
+    iwe = jnp.sum(jax.vmap(one)(hists, dt), axis=0)
+    if spec.iwe_sigma:
+        iwe = gaussian_blur(iwe, spec.iwe_sigma, mode="reflect")
+    if spec.roi is not None:
+        x0, x1, y0, y1 = spec.roi
+        iwe = iwe[x0:x1, y0:y1]
+    return iwe
+
+
 def solve_cmax_dense(ev: Events, key: jax.Array, spec: CmaxSpec,
                      init: Optional[jax.Array] = None):
     """Coarse-to-fine dense patch-flow CMax; returns ``(flow [2,H,W], aux)``.
 
-    Per scale, a ``[2, gh, gw]`` patch-flow field is upsampled to dense,
-    events are warped through it (gather at their pixels, differentiable
-    w.r.t. the field), and the blurred-IWE contrast plus a TV smoothness
-    prior is optimized; the result seeds the next finer scale.
+    Per scale, a ``[2, gh, gw]`` patch-flow field is upsampled to dense and
+    the blurred-IWE contrast plus a TV smoothness prior is optimized; the
+    result seeds the next finer scale.  With ``spec.time_bins > 0`` the
+    objective uses the binned gather-free formulation (:func:`binned_iwe`);
+    otherwise events are warped individually (exact timestamps,
+    differentiable through the scatter — slower on TPU).
     """
     ref_time = calculate_reftime(ev, spec.direction)
+    hists = dts = None
+    if spec.time_bins > 0:
+        hists, dts = binned_histograms(ev, spec)
     grids: List[PatchGrid] = []
     for i in range(spec.n_scales):
         p = spec.coarsest_patch // (2**i)
@@ -155,9 +214,13 @@ def solve_cmax_dense(ev: Events, key: jax.Array, spec: CmaxSpec,
 
         def objective(p, _grid=grid):
             flow = patch_to_dense(p, _grid)
-            warped = warp_event_dense_flow(ev, flow, ref_time,
-                                           normalize_t=True)
-            loss = contrast_loss(_roi_iwe(warped, spec), spec)
+            if spec.time_bins > 0:
+                iwe = binned_iwe(hists, dts, flow, spec)
+            else:
+                warped = warp_event_dense_flow(ev, flow, ref_time,
+                                               normalize_t=True)
+                iwe = _roi_iwe(warped, spec)
+            loss = contrast_loss(iwe, spec)
             if spec.smoothness:
                 loss = loss + spec.smoothness * costs_mod.image_gradient(
                     {"flow": flow, "weights": 1.0, "omit_boundary": True})

@@ -83,18 +83,45 @@ class TestTranslationCmax:
 
 
 class TestDenseCmax:
-    def test_dense_estimate_runs_and_sharpenss(self):
+    @pytest.mark.parametrize("time_bins", [16, 0])
+    def test_dense_estimate_runs_and_sharpens(self, time_bins):
         evn = moving_edge_events(3.0, -4.0, n=10000, seed=4)
         ev = events_from_ndarray(evn)
         spec = CmaxSpec(image_size=(H, W), motion_model="dense-flow",
                         coarsest_patch=32, finest_patch=16, n_iter=160,
-                        lr=0.5, smoothness=0.02)
+                        lr=0.5, smoothness=0.02, time_bins=time_bins,
+                        warp_radius=3)
         flow, aux = estimate_frame_cmax(ev, None, jax.random.PRNGKey(0), spec)
         assert flow.shape == (2, H, W)
         f = np.asarray(flow)
         # dense-flow warp uses x − dt·flow: sharpening flow ≈ +v
         assert abs(np.median(f[0]) - 3.0) < 1.5, np.median(f[0])
         assert abs(np.median(f[1]) + 4.0) < 1.5, np.median(f[1])
+
+    def test_binned_iwe_matches_event_warp(self):
+        """Binned stencil IWE ≈ per-event warped IWE for uniform flow."""
+        from event_based_bos_tpu.ops.warp import warp_event_dense_flow
+        from event_based_bos_tpu.ops.warp import calculate_reftime
+        from event_based_bos_tpu.ops.iwe import bilinear_vote
+        from event_based_bos_tpu.solver.cmax import binned_histograms, binned_iwe
+
+        evn = moving_edge_events(2.0, -1.0, n=8000, seed=6)
+        ev = events_from_ndarray(evn)
+        spec = CmaxSpec(image_size=(H, W), time_bins=64, warp_radius=2,
+                        iwe_sigma=1.0)
+        hists, dts = binned_histograms(ev, spec)
+        flow = jnp.broadcast_to(jnp.array([2.0, -1.0])[:, None, None],
+                                (2, H, W))
+        iwe_binned = binned_iwe(hists, dts, flow, spec)
+        ref_time = calculate_reftime(ev, "middle")
+        warped = warp_event_dense_flow(ev, flow, ref_time, normalize_t=True)
+        from event_based_bos_tpu.ops.iwe import gaussian_blur
+
+        iwe_exact = gaussian_blur(bilinear_vote(warped, (H, W)), 1.0,
+                                  mode="reflect")
+        corr = np.corrcoef(np.asarray(iwe_binned).ravel(),
+                           np.asarray(iwe_exact).ravel())[0, 1]
+        assert corr > 0.95, corr
 
     def test_facade(self):
         from event_based_bos_tpu.solver import collections
