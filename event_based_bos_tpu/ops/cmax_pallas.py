@@ -1,0 +1,222 @@
+"""Fused Pallas TPU kernel for the time-binned CMax objective.
+
+The binned contrast-maximization objective evaluates
+
+    iwe(x) = Σ_b Σ_{o ∈ stencil} hat(u_b(x)+o_r) · hat(v_b(x)+o_c) · H_b(x+o)
+
+with ``(u_b, v_b) = −dt_b · flow(x)`` — a (2R+1)²-tap shifted-weight stencil
+over ``B`` per-bin histograms.  Composed from jnp ops, XLA materializes
+intermediate warped images per bin and re-reads the histograms per tap
+(~12 ms/iteration at B=16, R=2, 720×1280 on v5e).  This kernel fuses the
+whole reduction: each grid step DMAs one row-tile of all ``B`` histograms
+(with halo) into VMEM once and accumulates the full stencil in registers.
+The backward pass (cotangent → flow gradient) has the same structure and is
+also a Pallas kernel; both are tied together with a custom VJP.
+
+Used by :mod:`event_based_bos_tpu.solver.cmax` when ``CmaxSpec.use_pallas``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["binned_warp_accumulate"]
+
+# set True to run the kernels in interpreter mode (CPU tests)
+INTERPRET = False
+
+
+def _pad_inputs(hists: jax.Array, flow: jax.Array, radius: int,
+                tile_rows: int):
+    """Zero-pad to the kernel layout.
+
+    hists → ``[B, Hp + 2R, Wp + 2R]`` and flow → ``[2, Hp, Wp + 2R]`` with
+    ``Hp`` a multiple of ``tile_rows`` and ``Wp + 2R`` a multiple of 128
+    (lane alignment).  The flow's column padding keeps row slices aligned;
+    padded columns produce zero output (hist zeros there).
+    """
+    b, h, w = hists.shape
+    hp = -(-h // tile_rows) * tile_rows
+    wp_full = -(-(w + 2 * radius) // 128) * 128
+    pad_w_hi = wp_full - w - radius
+    hists_p = jnp.pad(hists, ((0, 0), (radius, hp - h + radius),
+                              (radius, pad_w_hi)))
+    flow_p = jnp.pad(flow, ((0, 0), (0, hp - h), (radius, pad_w_hi)))
+    return hists_p, flow_p, hp, wp_full
+
+
+def _fwd_kernel(dts_ref, flow_ref, hists_ref, out_ref, scratch, sem,
+                *, n_bins: int, radius: int, tile_rows: int):
+    i = pl.program_id(0)
+    th = tile_rows
+    r = radius
+    # DMA this tile's rows (+halo) of every histogram into VMEM
+    copy = pltpu.make_async_copy(
+        hists_ref.at[:, pl.ds(i * th, th + 2 * r), :], scratch, sem)
+    copy.start()
+    u0 = flow_ref[0]  # (th, wp) — col-padded flow
+    v0 = flow_ref[1]
+    copy.wait()
+
+    wp = out_ref.shape[-1]
+    acc = jnp.zeros((th, wp), jnp.float32)
+    for b in range(n_bins):
+        dt = dts_ref[b]
+        u = -dt * u0
+        v = -dt * v0
+        for orow in range(-r, r + 1):
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(u + orow))
+            h_rows = scratch[b, pl.ds(r + orow, th), :]
+            for ocol in range(-r, r + 1):
+                wc = jnp.maximum(0.0, 1.0 - jnp.abs(v + ocol))
+                # histogram columns shifted by ocol relative to output cols;
+                # scratch cols carry an r-left pad, out cols an r-left pad too
+                h = pltpu.roll(h_rows, (-ocol) % wp, 1)
+                acc = acc + wr * wc * h
+    out_ref[:] = acc
+
+
+def _bwd_kernel(dts_ref, flow_ref, g_ref, hists_ref, du_ref, dv_ref,
+                scratch, sem, *, n_bins: int, radius: int, tile_rows: int):
+    i = pl.program_id(0)
+    th = tile_rows
+    r = radius
+    copy = pltpu.make_async_copy(
+        hists_ref.at[:, pl.ds(i * th, th + 2 * r), :], scratch, sem)
+    copy.start()
+    u0 = flow_ref[0]
+    v0 = flow_ref[1]
+    g = g_ref[:]
+    copy.wait()
+
+    wp = du_ref.shape[-1]
+    du = jnp.zeros((th, wp), jnp.float32)
+    dv = jnp.zeros((th, wp), jnp.float32)
+    for b in range(n_bins):
+        dt = dts_ref[b]
+        u = -dt * u0
+        v = -dt * v0
+        for orow in range(-r, r + 1):
+            au = u + orow
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(au))
+            # d wr / du = −sign(au) inside the hat support
+            dwr = jnp.where(jnp.abs(au) < 1.0, -jnp.sign(au), 0.0)
+            h_rows = scratch[b, pl.ds(r + orow, th), :]
+            for ocol in range(-r, r + 1):
+                av = v + ocol
+                wc = jnp.maximum(0.0, 1.0 - jnp.abs(av))
+                dwc = jnp.where(jnp.abs(av) < 1.0, -jnp.sign(av), 0.0)
+                h = pltpu.roll(h_rows, (-ocol) % wp, 1)
+                gh = g * h
+                # chain rule through u = −dt·flow0, v = −dt·flow1
+                du = du + (-dt) * dwr * wc * gh
+                dv = dv + (-dt) * wr * dwc * gh
+    du_ref[:] = du
+    dv_ref[:] = dv
+
+
+def _run_fwd(hists_p, flow_p, dts, radius, tile_rows, hp, wp):
+    b = hists_p.shape[0]
+    grid = (hp // tile_rows,)
+    kernel = functools.partial(_fwd_kernel, n_bins=b, radius=radius,
+                               tile_rows=tile_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dts
+            pl.BlockSpec((2, tile_rows, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # hists stay in HBM
+        ],
+        out_specs=pl.BlockSpec((tile_rows, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b, tile_rows + 2 * radius, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=INTERPRET,
+    )(dts, flow_p, hists_p)
+
+
+def _run_bwd(hists_p, flow_p, g_p, dts, radius, tile_rows, hp, wp):
+    b = hists_p.shape[0]
+    grid = (hp // tile_rows,)
+    kernel = functools.partial(_bwd_kernel, n_bins=b, radius=radius,
+                               tile_rows=tile_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, tile_rows, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, tile_rows + 2 * radius, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=INTERPRET,
+    )(dts, flow_p, g_p, hists_p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def binned_warp_accumulate(hists: jax.Array, flow: jax.Array, dts: jax.Array,
+                           radius: int = 2, tile_rows: int = 16) -> jax.Array:
+    """Fused ``Σ_b stencil_warp(H_b, −dt_b·flow)`` → ``[H, W]`` IWE.
+
+    Differentiable w.r.t. ``flow`` (custom VJP; histograms and dts are
+    treated as constants, matching the CMax objective where only the flow is
+    optimized).
+
+    Args:
+        hists: ``[B, H, W]`` per-bin event histograms.
+        flow: ``[2, H, W]``.
+        dts: ``[B]`` normalized bin-center offsets.
+        radius: stencil radius (exact for ``|dt·flow| <= radius``).
+        tile_rows: rows per grid step (VMEM tile height).
+    """
+    out, _ = _fwd(hists, flow, dts, radius, tile_rows)
+    return out
+
+
+def _fwd(hists, flow, dts, radius, tile_rows):
+    b, h, w = hists.shape
+    hists_p, flow_p, hp, wp = _pad_inputs(
+        hists.astype(jnp.float32), flow.astype(jnp.float32), radius, tile_rows)
+    out = _run_fwd(hists_p, flow_p, dts.astype(jnp.float32), radius,
+                   tile_rows, hp, wp)
+    iwe = out[:h, radius:radius + w]
+    return iwe, (hists_p, flow_p, dts.astype(jnp.float32), h, w, hp, wp)
+
+
+def _bwd(radius, tile_rows, res, g):
+    hists_p, flow_p, dts, h, w, hp, wp = res
+    g_p = jnp.zeros((hp, wp), jnp.float32)
+    g_p = g_p.at[:h, radius:radius + w].set(g.astype(jnp.float32))
+    du, dv = _run_bwd(hists_p, flow_p, g_p, dts, radius, tile_rows, hp, wp)
+    dflow = jnp.stack([du[:h, radius:radius + w], dv[:h, radius:radius + w]])
+    return (None, dflow, None)
+
+
+binned_warp_accumulate.defvjp(_fwd, _bwd)

@@ -80,6 +80,9 @@ class CmaxSpec:
     time_bins: int = 16
     # stencil radius for the binned warp: must cover max |dt·flow| per bin
     warp_radius: int = 2
+    # fuse the binned warp-accumulate into the custom Pallas kernel
+    # (ops.cmax_pallas) — reads each histogram tile once per iteration
+    use_pallas: bool = True
 
     @property
     def n_scales(self) -> int:
@@ -165,12 +168,17 @@ def binned_iwe(hists: jax.Array, dt: jax.Array, flow: jax.Array,
     Event mass in bin b displaces by ``−dt_b·flow``; the equivalent image
     operation is the gather-free stencil warp with shift ``−dt_b·flow``.
     """
-    from ..ops.image_warp import warp_image_stencil
+    if spec.use_pallas and jax.default_backend() == "tpu":
+        from ..ops.cmax_pallas import binned_warp_accumulate
 
-    def one(h, d):
-        return warp_image_stencil(h, -d * flow, spec.warp_radius)
+        iwe = binned_warp_accumulate(hists, flow, dt, spec.warp_radius)
+    else:
+        from ..ops.image_warp import warp_image_stencil
 
-    iwe = jnp.sum(jax.vmap(one)(hists, dt), axis=0)
+        def one(h, d):
+            return warp_image_stencil(h, -d * flow, spec.warp_radius)
+
+        iwe = jnp.sum(jax.vmap(one)(hists, dt), axis=0)
     if spec.iwe_sigma:
         iwe = gaussian_blur(iwe, spec.iwe_sigma, mode="reflect")
     if spec.roi is not None:

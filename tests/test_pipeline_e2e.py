@@ -54,6 +54,9 @@ def tiny_config(tmp_path):
                            "windowsizes": [32, 16], "overlap": [16, 8],
                            "MinMax_U_disp": [-20, 20],
                            "MinMax_V_disp": [-20, 20]},
+        "params_openpiv_events": {"integration_time": 0.01,
+                                  "frame_distance": 0.033,
+                                  "do_inversion": False},
     }
     path = tmp_path / "cfg.yaml"
     path.write_text(yaml.safe_dump(cfg))
@@ -92,3 +95,49 @@ def test_sequential_mode(tiny_config):
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "timestamps_per_frame.txt"))
     assert any(f.startswith("original") for f in os.listdir(out_dir))
+
+
+def test_accumulate_mode(tiny_config, tmp_path):
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["run_mode"] = "accumulate"
+    p = tmp_path / "acc.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--log", "warning"])
+    assert rc == 0
+    assert any(f.startswith("orig") for f in os.listdir(out_dir))
+    assert any(f.startswith("filter") for f in os.listdir(out_dir))
+
+
+def test_piv_on_event_grids_mode(tiny_config, tmp_path):
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["estimation_method"] = "openpiv"
+    cfg["method"] = "openpiv"
+    p = tmp_path / "piv.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+    files = os.listdir(out_dir)
+    assert any(f.startswith("event_flow_openpiv") for f in files)
+    assert any(f.startswith("hist1") for f in files)
+
+
+def test_resume_skips_computed_frames(tiny_config, tmp_path):
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["resume"] = True
+    p = tmp_path / "res.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+    manifest = os.path.join(out_dir, "frame_results.json")
+    assert os.path.exists(manifest)
+    import json
+
+    n1 = len(json.load(open(manifest)))
+    assert n1 >= 2
+    # second run: everything skipped, manifest unchanged, still exits 0
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+    assert len(json.load(open(manifest))) == n1

@@ -1,0 +1,140 @@
+"""Tests for the visualizer, checkpoint store, tracing, misc utils."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from event_based_bos_tpu.utils.checkpoint import FrameResultStore
+from event_based_bos_tpu.utils.misc import check_key_and_bool, read_flow_error_text
+from event_based_bos_tpu.utils.tracing import Timer, timeit
+from event_based_bos_tpu.visualizer import Visualizer
+
+
+@pytest.fixture()
+def viz(tmp_path):
+    return Visualizer((24, 32), save=True, show=False, save_dir=str(tmp_path))
+
+
+class TestVisualizer:
+    def test_prefix_counters(self, viz, tmp_path):
+        img = np.zeros((24, 32), np.uint8)
+        viz.visualize_image(img, "foo")
+        viz.visualize_image(img, "foo")
+        viz.visualize_image(img)
+        assert (tmp_path / "foo0.png").exists()
+        assert (tmp_path / "foo1.png").exists()
+        assert (tmp_path / "image0.png").exists()
+        viz.reset_save_count("foo")
+        viz.visualize_image(img, "foo")
+        assert (tmp_path / "foo0.png").exists()
+
+    def test_flow_visualization_and_npy(self, viz, tmp_path):
+        rng = np.random.default_rng(0)
+        fx = rng.normal(size=(24, 32))
+        fy = rng.normal(size=(24, 32))
+        viz.visualize_optical_flow(fx, fy, visualize_color_wheel=True,
+                                   file_prefix="flow", save_flow=True)
+        assert (tmp_path / "flow0.png").exists()
+        assert (tmp_path / "flow0.npy").exists()
+        assert (tmp_path / "color_wheel.png").exists()
+        arr = np.load(tmp_path / "flow0.npy")
+        np.testing.assert_allclose(arr, np.stack([fx, fy]))
+
+    def test_color_optical_flow_properties(self, viz):
+        fx = np.ones((24, 32))
+        fy = np.zeros((24, 32))
+        rgb, wheel, maxmag = viz.color_optical_flow(fx, fy, ord=0.5)
+        assert rgb.shape == (24, 32, 3) and rgb.dtype == np.uint8
+        assert wheel.shape == (24, 24, 3)
+        assert abs(maxmag - 1.0) < 1e-6
+        # uniform flow → uniform color
+        assert (rgb == rgb[0, 0]).all()
+
+    def test_event_and_masked_views(self, viz, tmp_path):
+        rng = np.random.default_rng(0)
+        events = np.stack([rng.integers(0, 24, 200), rng.integers(0, 32, 200),
+                           np.sort(rng.uniform(0, 1, 200)),
+                           rng.integers(0, 2, 200)], 1).astype(float)
+        viz.visualize_event(events, file_prefix="ev")
+        assert (tmp_path / "ev0.png").exists()
+        flow = rng.normal(size=(2, 24, 32))
+        viz.visualize_optical_flow_on_event_mask(flow, events,
+                                                 file_prefix="masked",
+                                                 mask_morph=True)
+        assert (tmp_path / "masked0.png").exists()
+        viz.visualize_overlay_optical_flow_on_event(flow, events,
+                                                    file_prefix="ovl")
+        viz.visualize_poisson_integration(flow, file_prefix="poisson")
+        assert (tmp_path / "poisson0.png").exists()
+        viz.visualize_optical_flow_pred_and_gt(flow, flow,
+                                               pred_file_prefix="p",
+                                               gt_file_prefix="g")
+        assert (tmp_path / "p0.png").exists() and (tmp_path / "g0.png").exists()
+
+    def test_video_assembly(self, viz, tmp_path):
+        img = np.zeros((24, 32), np.uint8)
+        for i in range(4):
+            viz.visualize_image(img + 40 * i, "seq")
+        out = viz.visualize_sequential_images_as_video("seq")
+        if out is None:
+            pytest.skip("no mp4 codec")
+        assert os.path.exists(out)
+
+    def test_history_plots(self, viz, tmp_path):
+        viz.visualize_scipy_history({"loss": np.linspace(1, 0, 50),
+                                     "diff_norm": np.linspace(2, 1, 50)})
+        assert (tmp_path / "optimization_steps0.png").exists()
+        viz.visualize_optuna_history(np.random.rand(30))
+        assert (tmp_path / "sampler_history0.png").exists()
+
+    def test_save_array(self, viz, tmp_path):
+        viz.save_array(np.arange(6.0), file_prefix="arr", new_prefix=True)
+        assert (tmp_path / "arr0.npy").exists()
+
+
+class TestCheckpoint:
+    def test_record_resume_summary(self, tmp_path):
+        store = FrameResultStore(str(tmp_path))
+        store.record(0, flow=np.ones((2, 4, 5)), EPE=0.5, t1=0.0, t2=0.1)
+        store.record(1, flow=2 * np.ones((2, 4, 5)), EPE=0.7, t1=0.1, t2=0.2)
+        # new instance resumes from the manifest
+        store2 = FrameResultStore(str(tmp_path))
+        assert 0 in store2 and 1 in store2 and 2 not in store2
+        np.testing.assert_allclose(store2.load_flow(1), 2.0)
+        s = store2.summary()
+        np.testing.assert_allclose(s["EPE"]["mean"], 0.6)
+        assert s["EPE"]["n_data"] == 2
+
+    def test_corrupt_manifest_recovers(self, tmp_path):
+        (tmp_path / FrameResultStore.MANIFEST).write_text("{not json")
+        store = FrameResultStore(str(tmp_path))
+        assert len(store) == 0
+
+
+class TestMiscAndTracing:
+    def test_check_key_and_bool(self):
+        assert check_key_and_bool({"a": True}, "a")
+        assert not check_key_and_bool({"a": False}, "a")
+        assert not check_key_and_bool({}, "a")
+
+    def test_read_flow_error_text(self, tmp_path):
+        p = tmp_path / "err.txt"
+        p.write_text(
+            "frame 0::{'EPE': 1.0, '1PE': 0.5, 'AE': 0.1, 'FWL': 2.0}\n"
+            "frame 1::{'EPE': 3.0, '1PE': 0.25, 'AE': 0.0, 'FWL': 0.5}\n")
+        per, stats = read_flow_error_text(str(p))
+        np.testing.assert_allclose(per["EPE"], [1.0, 3.0])
+        np.testing.assert_allclose(per["1PE"], [50.0, 25.0])  # → %
+        np.testing.assert_allclose(per["FWL"], [0.5, 2.0])    # inverted
+        assert stats["AE"]["n_data"] == 1  # zeros excluded for AE
+        np.testing.assert_allclose(stats["EPE"]["rms"], np.sqrt(5.0))
+
+    def test_timer_and_timeit(self):
+        t = Timer()
+        with t.section("a"):
+            pass
+        assert "a" in t.report()
+        stats = timeit(lambda x: x * 2, jnp.ones((8, 8)), repeats=2)
+        assert stats["n"] == 2 and np.isfinite(stats["median_s"])
