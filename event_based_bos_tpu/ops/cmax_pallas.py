@@ -41,11 +41,15 @@ def _pad_inputs(hists: jax.Array, flow: jax.Array, radius: int,
     (lane alignment).  The flow's column padding keeps row slices aligned;
     padded columns produce zero output (hist zeros there).
     """
+    assert radius <= 4, "stencil radius must fit the 8-row DMA halo"
     b, h, w = hists.shape
     hp = -(-h // tile_rows) * tile_rows
     wp_full = -(-(w + 2 * radius) // 128) * 128
     pad_w_hi = wp_full - w - radius
-    hists_p = jnp.pad(hists, ((0, 0), (radius, hp - h + radius),
+    # Mosaic requires HBM DMA slices row-aligned to the (8, 128) tile: the
+    # halo window is rounded up to tile_rows + 8 rows, so hists carry
+    # 8 − radius extra bottom rows of zero padding.
+    hists_p = jnp.pad(hists, ((0, 0), (radius, hp - h + 8 - radius),
                               (radius, pad_w_hi)))
     flow_p = jnp.pad(flow, ((0, 0), (0, hp - h), (radius, pad_w_hi)))
     return hists_p, flow_p, hp, wp_full
@@ -58,7 +62,7 @@ def _fwd_kernel(dts_ref, flow_ref, hists_ref, out_ref, scratch, sem,
     r = radius
     # DMA this tile's rows (+halo) of every histogram into VMEM
     copy = pltpu.make_async_copy(
-        hists_ref.at[:, pl.ds(i * th, th + 2 * r), :], scratch, sem)
+        hists_ref.at[:, pl.ds(i * th, th + 8), :], scratch, sem)
     copy.start()
     u0 = flow_ref[0]  # (th, wp) — col-padded flow
     v0 = flow_ref[1]
@@ -88,7 +92,7 @@ def _bwd_kernel(dts_ref, flow_ref, g_ref, hists_ref, du_ref, dv_ref,
     th = tile_rows
     r = radius
     copy = pltpu.make_async_copy(
-        hists_ref.at[:, pl.ds(i * th, th + 2 * r), :], scratch, sem)
+        hists_ref.at[:, pl.ds(i * th, th + 8), :], scratch, sem)
     copy.start()
     u0 = flow_ref[0]
     v0 = flow_ref[1]
@@ -139,7 +143,7 @@ def _run_fwd(hists_p, flow_p, dts, radius, tile_rows, hp, wp):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((b, tile_rows + 2 * radius, wp), jnp.float32),
+            pltpu.VMEM((b, tile_rows + 8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=INTERPRET,
@@ -173,7 +177,7 @@ def _run_bwd(hists_p, flow_p, g_p, dts, radius, tile_rows, hp, wp):
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, tile_rows + 2 * radius, wp), jnp.float32),
+            pltpu.VMEM((b, tile_rows + 8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=INTERPRET,
