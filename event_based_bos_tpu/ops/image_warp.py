@@ -203,7 +203,7 @@ def standardize_image_minmax(array, new_min: float = 0.0, new_max: float = 255.0
 def standardize_image_center(array, old_center: float = 0.0, new_center: float = 128.0,
                              new_max: float = 255.0):
     """Center-preserving standardization (``frame_utils.py:40-53``)."""
-    max_abs = jnp.abs(array).max()
+    max_abs = jnp.maximum(jnp.abs(array).max(), 1e-12)
     return (array - old_center) / max_abs * (new_max - new_center) + new_center
 
 

@@ -441,6 +441,14 @@ class PatchEkltPyramid2(SolverBase):
         flow, aux = fn(ev, frame, self._mask, self._next_key(),
                        prev_params=prev)
         self._last_aux = aux
+        if self.slv_config.get("warm_start"):
+            # feed the coarse-from-fine feedback into the next frame's init
+            # (the mechanism the reference defines but leaves disconnected,
+            # ``patch_eklt_pyramid2.py:186-190``)
+            from .pyramid import update_coarse_from_fine
+
+            self.set_previous_frame_best_estimation(
+                update_coarse_from_fine(aux["params_per_scale"], self.spec))
         if self.visualizer is not None:
             hist = {f"scale{i}": np.asarray(h)
                     for i, h in enumerate(aux["loss_history"])}

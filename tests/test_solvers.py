@@ -177,3 +177,15 @@ class TestApiFacade:
         f_ref = solv_ref.estimate(events, None, frame=I1, background=I1)
         f_phys = solv_phys.estimate(events, None, frame=I1, background=I1)
         np.testing.assert_allclose(f_phys, -f_ref, atol=1e-6)
+
+
+def test_warm_start_sequence(scene):
+    """Pyramid facade with warm_start chains previous-frame params."""
+    I1, I2, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["warm_start"] = True
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    f1 = solv.estimate(events, None, frame=I1, background=I1)
+    assert solv.previous_frame_best_estimation is not None
+    f2 = solv.estimate(events, None, frame=I2, background=I1)
+    assert np.isfinite(f2).all()
