@@ -37,6 +37,11 @@ __all__ = [
 ]
 
 
+def _acc_dtype(x) -> jnp.dtype:
+    """Reduction accumulator dtype: f32 for bf16 inputs (precision floor)."""
+    return jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+
+
 def _safe_l2(v: jax.Array, axis=0) -> jax.Array:
     """L2 norm with a zero subgradient at the origin.
 
@@ -45,7 +50,7 @@ def _safe_l2(v: jax.Array, axis=0) -> jax.Array:
     ``gml:425-450``).  torch defines the subgradient there as 0; this
     double-where construction reproduces that.
     """
-    sq = jnp.sum(v * v, axis=axis)
+    sq = jnp.sum((v * v).astype(_acc_dtype(v)), axis=axis)
     zero = sq == 0
     safe = jnp.where(zero, 1.0, sq)
     return jnp.where(zero, 0.0, jnp.sqrt(safe))
@@ -61,7 +66,7 @@ def diff_norm(arg: dict) -> jax.Array:
     reference numerically.
     """
     d = jnp.abs(arg["prediction"] - arg["measurement"])
-    return jnp.max(jnp.sum(d, axis=-2))
+    return jnp.max(jnp.sum(d.astype(_acc_dtype(d)), axis=-2))
 
 
 def flow_norm(arg: dict) -> jax.Array:
@@ -93,7 +98,7 @@ def image_gradient(arg: dict) -> jax.Array:
     weights = arg.get("weights", 1.0)
     gx = central_gradient(flow, axis=1) * weights
     gy = central_gradient(flow, axis=2) * weights
-    return jnp.mean(jnp.abs(gx) + jnp.abs(gy))
+    return jnp.mean((jnp.abs(gx) + jnp.abs(gy)).astype(_acc_dtype(gx)))
 
 
 def total_variation(arg: dict) -> jax.Array:

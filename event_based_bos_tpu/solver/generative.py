@@ -64,9 +64,11 @@ def _safe_frobenius(x: jax.Array) -> jax.Array:
     does the same — the reference's loop catches the exception and silently
     returns the init, ``gml:334-338``).  This fixes that failure mode.
     """
-    sq = jnp.sum(x * x)
+    acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    sq = jnp.sum((x * x).astype(acc))
     zero = sq == 0
-    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+    return jnp.where(zero, 0.0,
+                     jnp.sqrt(jnp.where(zero, 1.0, sq))).astype(x.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +100,12 @@ class GenerativeSpec:
     # gather-free stencil warp (see ops.image_warp.warp_image_stencil).
     # 0 selects the general gather-based warp (slow on TPU).
     warp_stencil_radius: int = 1
+    # Dtype for the memory-bound interior of the objective (field
+    # interpolation + gradient warp); reductions and the optimizer state stay
+    # in ``dtype``.  bfloat16 roughly halves the HBM traffic of the
+    # optimization loop at a small accuracy cost (validated against the f32
+    # path in tests).  None = use ``dtype``.
+    compute_dtype: Optional[jnp.dtype] = None
 
     @property
     def param_dim(self) -> int:
@@ -250,6 +258,8 @@ def params_to_fields(
         fields.append(params[0:1])
         names.append("intensity")
     stacked = jnp.concatenate(fields, axis=0)
+    if spec.compute_dtype is not None:
+        stacked = stacked.astype(spec.compute_dtype)
     dense = patch_to_dense(stacked, grid)
     out: Dict[str, jax.Array] = {}
     pos = 0

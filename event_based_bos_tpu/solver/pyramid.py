@@ -118,6 +118,17 @@ def solve_pyramid(
     grids = pyramid_grids(spec)
     iters = scale_iterations(spec)
 
+    if gen.compute_dtype is not None:
+        # cast the optimization-loop constants once; params/optimizer state
+        # stay in gen.dtype (grads are cast back by autodiff)
+        cd = gen.compute_dtype
+        measured = measured.astype(cd)
+        gx = gx.astype(cd)
+        gy = gy.astype(cd)
+        mask = mask.astype(cd)
+        weight_inverse = weight_inverse.astype(cd)
+        weights = None if weights is None else weights.astype(cd)
+
     params_per_scale: List[jax.Array] = []
     histories: List[jax.Array] = []
     term_histories: List[Dict[str, jax.Array]] = []
