@@ -307,6 +307,32 @@ class Visualizer:
             plt.savefig(self.get_filename_from_prefix(file_prefix))
         plt.close()
 
+    def visualize_vector_field(self, flow, step: int = 8, scale=None,
+                               file_prefix: str = "vector_field"):
+        """Quiver plot of a dense flow field.
+
+        Equivalent of OpenPIV's ``display_vector_field`` used by the
+        reference's PIV pipeline (``frame_utils.py:430-504``).
+        """
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        flow = _to_numpy(flow)
+        h, w = flow.shape[-2:]
+        ys, xs = np.mgrid[step // 2:h:step, step // 2:w:step]
+        u = flow[1, ys, xs]   # col displacement → plot x
+        v = flow[0, ys, xs]   # row displacement → plot y (inverted axis)
+        fig, ax = plt.subplots(figsize=(8, 8 * h / w))
+        ax.quiver(xs, ys, u, -v, angles="xy", scale=scale, color="tab:blue")
+        ax.set_xlim(0, w)
+        ax.set_ylim(h, 0)
+        ax.set_aspect("equal")
+        if self._save:
+            fig.savefig(self.get_filename_from_prefix(file_prefix),
+                        bbox_inches="tight")
+        plt.close(fig)
+
     def visualize_optuna_history(self, losses, file_prefix: str = "sampler_history"):
         """Sampler-trial loss scatter (the reference declares but never
         implements this — ``gml:649``; implemented here)."""

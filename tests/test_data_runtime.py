@@ -166,3 +166,52 @@ class TestSyntheticLoader:
         assert 0 <= i < len(loader)
         gt = loader.load_optical_flow(0)
         assert gt.shape == (2, 48, 64)
+
+
+class TestE2vidLoader:
+    def test_contract(self, tmp_path):
+        import cv2
+        from event_based_bos_tpu.data import E2vidDataLoader
+
+        seq = tmp_path / "E2VID" / "seq0"
+        seq.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        ts = np.linspace(0.0, 0.5, 6)
+        for i in range(6):
+            cv2.imwrite(str(seq / f"{i:05d}.png"),
+                        rng.integers(0, 255, (20, 30), dtype=np.uint8))
+        np.savetxt(seq / "timestamps.txt", ts)
+        with open(seq / "events.csv", "w") as f:
+            for t in np.linspace(0, 0.5, 100):
+                f.write(f"1,2,1,{t}\n")
+        loader = E2vidDataLoader({"root": str(tmp_path), "dataset": "E2VID",
+                                  "height": 20, "width": 30})
+        loader.set_sequence("seq0")
+        assert loader.num_images == 6
+        img, t = loader.load_image(3)
+        assert img.shape == (20, 30) and abs(t - ts[3]) < 1e-9
+        assert loader.time_to_index(0.21) == 2
+        assert len(loader) == 99
+
+
+class TestHeliumLoader:
+    def test_contract(self, tmp_path):
+        import cv2
+        from event_based_bos_tpu.data import HeliumDataLoader
+
+        seq = tmp_path / "HELIUM" / "run1"
+        seq.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            cv2.imwrite(str(seq / f"img_{i:03d}.tif"),
+                        rng.integers(0, 255, (16, 24), dtype=np.uint8))
+        loader = HeliumDataLoader({"root": str(tmp_path), "dataset": "HELIUM",
+                                   "height": 16, "width": 24})
+        loader.set_sequence("run1")
+        assert loader.num_images == 3  # last tif is the background
+        bg, t0 = loader.load_image(0)
+        assert t0 == 0.0 and bg.shape == (16, 24)
+        img, t1 = loader.load_image(2)
+        assert abs(t1 - 2 / 1000.0) < 1e-12
+        with pytest.raises(NotImplementedError):
+            loader.load_event(0, 10)

@@ -138,3 +138,10 @@ class TestMiscAndTracing:
         assert "a" in t.report()
         stats = timeit(lambda x: x * 2, jnp.ones((8, 8)), repeats=2)
         assert stats["n"] == 2 and np.isfinite(stats["median_s"])
+
+
+def test_vector_field_view(tmp_path):
+    viz = Visualizer((24, 32), save=True, show=False, save_dir=str(tmp_path))
+    flow = np.random.default_rng(0).normal(size=(2, 24, 32))
+    viz.visualize_vector_field(flow, step=8)
+    assert (tmp_path / "vector_field0.png").exists()
