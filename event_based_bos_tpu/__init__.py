@@ -20,4 +20,10 @@ Subpackages:
 __version__ = "0.1.0"
 
 from . import ops, types  # noqa: F401
-from .types import Events, PatchGrid, events_from_arrays, events_from_ndarray  # noqa: F401
+from .types import (  # noqa: F401
+    Events,
+    FlowPatch,
+    PatchGrid,
+    events_from_arrays,
+    events_from_ndarray,
+)

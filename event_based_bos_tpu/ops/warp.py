@@ -25,6 +25,9 @@ __all__ = [
     "warp_event",
     "get_flow_from_motion",
     "motion_model_keys",
+    "motion_model_to_motion",
+    "motion_model_from_motion",
+    "get_motion_vector_size",
 ]
 
 MOTION_MODELS = ("dense-flow", "2d-translation", "rigid-optical-flow")
@@ -39,6 +42,26 @@ def motion_model_keys(motion_model: str):
     if motion_model == "scaler":
         return ["scaler"]
     raise KeyError(f"motion_model = {motion_model!r} not supported")
+
+
+def motion_model_to_motion(motion_model: str, params: dict) -> jnp.ndarray:
+    """Parameter dict → motion vector (``warp.py:126-145``)."""
+    if motion_model in ("dense-flow", "2d-translation", "rigid-optical-flow"):
+        return jnp.asarray([params["trans_x"], params["trans_y"]])
+    if motion_model == "scaler":
+        return jnp.asarray([params["scaler"]])
+    raise KeyError(f"motion_model = {motion_model!r} not supported")
+
+
+def motion_model_from_motion(motion, motion_model: str) -> dict:
+    """Motion vector → parameter dict (``warp.py:147-165``)."""
+    keys = motion_model_keys(motion_model)
+    return {k: motion[i] for i, k in enumerate(keys)}
+
+
+def get_motion_vector_size(motion_model: str) -> int:
+    """DoF of the motion model (``warp.py:114-124``)."""
+    return len(motion_model_keys(motion_model))
 
 
 def calculate_reftime(

@@ -16,3 +16,4 @@ from .sharding import (  # noqa: F401
     make_multichip_estimator,
     sharded_polarity_votes,
 )
+from .sweep import hyperparam_sweep, stack_events  # noqa: F401

@@ -100,8 +100,12 @@ def solve_pyramid(
     spec: PyramidSpec,
     prev_params: Optional[List[jax.Array]] = None,
     init_params: Optional[jax.Array] = None,
+    lr: Optional[jax.Array] = None,
 ):
     """Coarse-to-fine joint optimization; returns (dense_flow, aux).
+
+    ``lr`` optionally overrides ``spec.lr`` with a *traced* value — enabling
+    vmapped hyper-parameter sweeps (see ``parallel.sweep``).
 
     ``aux`` carries per-scale best parameter fields, loss histories and
     per-term cost histories (the JAX-native ``cost_func.get_history()``).
@@ -153,7 +157,8 @@ def solve_pyramid(
                 weights=weights)
 
         result = run_first_order(
-            objective, x0, n_it, method=spec.method, lr=spec.lr,
+            objective, x0, n_it, method=spec.method,
+            lr=spec.lr if lr is None else lr,
             lr_decay=spec.lr_decay, track_best=spec.track_best, has_aux=True)
         params = result.param
         params_per_scale.append(params)
@@ -186,6 +191,7 @@ def estimate_frame(
     spec: PyramidSpec,
     prev_params: Optional[List[jax.Array]] = None,
     init_params: Optional[jax.Array] = None,
+    lr: Optional[jax.Array] = None,
 ):
     """Whole per-frame solve: gradients + IWE cache + pyramid optimization.
 
@@ -199,7 +205,7 @@ def estimate_frame(
                              use_log_intensity=gen.use_log_intensity)
     hist, weights, weight_inverse = iwe_cache(ev, gen)
     return solve_pyramid(hist, weights, weight_inverse, gx, gy, mask, key,
-                         spec, prev_params, init_params)
+                         spec, prev_params, init_params, lr=lr)
 
 
 def update_coarse_from_fine(

@@ -124,6 +124,50 @@ def pad_events(ev: Events, capacity: int) -> Events:
     return Events(_pad(ev.x), _pad(ev.y), _pad(ev.t), _pad(ev.p), _pad(ev.valid))
 
 
+@dataclasses.dataclass
+class FlowPatch:
+    """Single patch descriptor (API parity with the reference's
+    ``src/types/flow_patch.py:10-91``: center, shape, flow, derived bounds).
+
+    The solvers operate on whole :class:`PatchGrid` fields; this object is a
+    convenience for code migrating from the reference.
+    """
+
+    x: float = 0.0
+    y: float = 0.0
+    shape: Tuple[int, int] = (0, 0)
+    u: float = 0.0
+    v: float = 0.0
+
+    @property
+    def position(self) -> np.ndarray:
+        return np.array([self.x, self.y])
+
+    @property
+    def flow(self) -> np.ndarray:
+        return np.array([self.u, self.v])
+
+    @property
+    def x_min(self) -> float:
+        return self.x - self.shape[0] / 2
+
+    @property
+    def x_max(self) -> float:
+        return self.x + self.shape[0] / 2
+
+    @property
+    def y_min(self) -> float:
+        return self.y - self.shape[1] / 2
+
+    @property
+    def y_max(self) -> float:
+        return self.y + self.shape[1] / 2
+
+    def update(self, u: float, v: float) -> None:
+        self.u = float(u)
+        self.v = float(v)
+
+
 @dataclasses.dataclass(frozen=True)
 class PatchGrid:
     """Regular grid of square patches tiling an image.

@@ -58,3 +58,32 @@ def test_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hyperparam_sweep_sharded():
+    from event_based_bos_tpu.parallel import hyperparam_sweep, make_mesh
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import roi_mask
+
+    h, w = 32, 48
+    gen = GenerativeSpec(image_size=(h, w), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=False,
+                         optimize_warp=True, poisson_model=True)
+    spec = PyramidSpec(gen=gen, roi=(0, h, 0, w), coarsest_patch=16,
+                       finest_patch=8, n_iter=8)
+    rng = np.random.default_rng(0)
+    evn = np.stack([rng.uniform(0, h - 1, 2048), rng.uniform(0, w - 1, 2048),
+                    np.sort(rng.uniform(0, 0.01, 2048)),
+                    rng.integers(0, 2, 2048) * 2.0 - 1.0], 1)
+    ev = events_from_ndarray(evn, capacity=2048)
+    frame = jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32)
+    mask = jnp.asarray(roi_mask(spec))
+    mesh = make_mesh((8,), ("data",))
+    lrs = jnp.asarray([0.01, 0.02, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5])
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    flows, losses = hyperparam_sweep(ev, frame, mask, lrs, keys, spec, mesh)
+    assert flows.shape == (8, 2, h, w)
+    assert np.isfinite(np.asarray(flows)).all()
+    assert np.isfinite(np.asarray(losses)).all()
+    # different lrs must give different results
+    assert float(jnp.abs(flows[0] - flows[-1]).max()) > 0
