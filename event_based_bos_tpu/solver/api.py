@@ -195,6 +195,16 @@ class SolverBase:
     def set_previous_frame_best_estimation(self, previous_best):
         self.previous_frame_best_estimation = previous_best
 
+    def undistort_image(self, image: np.ndarray) -> np.ndarray:
+        """Undistort a frame with the loader calibration (``base.py:363-378``)."""
+        import cv2
+
+        new_mtx, _ = cv2.getOptimalNewCameraMatrix(
+            self.calib_param["K"], self.calib_param["D"],
+            self.orig_image_shape, 1, self.orig_image_shape)
+        return cv2.undistort(image, self.calib_param["K"],
+                             self.calib_param["D"], None, new_mtx)
+
     # -- visualization ---------------------------------------------------------------
     def create_clipped_image(self, events, max_scale=50):
         """Inverted clipped IWE for viewing (``base.py:154-174``)."""

@@ -307,6 +307,17 @@ class Visualizer:
             plt.savefig(self.get_filename_from_prefix(file_prefix))
         plt.close()
 
+    def visualize_plt_figure(self, fig, file_prefix: Optional[str] = None):
+        """Save a matplotlib figure under the prefix-counter naming scheme."""
+        if fig is None:
+            return
+        if self._save:
+            fig.savefig(self.get_filename_from_prefix(file_prefix),
+                        bbox_inches="tight")
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
     def visualize_vector_field(self, flow, step: int = 8, scale=None,
                                file_prefix: str = "vector_field"):
         """Quiver plot of a dense flow field.
