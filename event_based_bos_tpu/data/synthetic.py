@@ -17,8 +17,6 @@ contract via :class:`~event_based_bos_tpu.data.synthetic_loader.SyntheticDataLoa
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import numpy as np
 
 __all__ = ["SyntheticBosConfig", "make_background", "displacement_field",

@@ -17,7 +17,6 @@ the solver/physics axis order.  See ``docs/conventions.md``.
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 import numpy as np
 

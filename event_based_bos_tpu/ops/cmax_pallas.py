@@ -19,8 +19,6 @@ Used by :mod:`event_based_bos_tpu.solver.cmax` when ``CmaxSpec.use_pallas``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,7 +20,6 @@ actually returns the final iterate.  Here best tracking is done by value;
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -10,10 +10,9 @@ data-parallel over the ``data`` axis.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 

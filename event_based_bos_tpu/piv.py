@@ -16,7 +16,7 @@ Used by the frame-based BOS baseline (``method: openpiv``) and by
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ from .. import costs as costs_mod
 from ..ops.iwe import bilinear_vote, gaussian_blur
 from ..ops.warp import warp_event_2dof, warp_event_dense_flow, calculate_reftime
 from ..optim import (
-    FIRST_ORDER_METHODS,
     QUASI_NEWTON_METHODS,
     SAMPLER_METHODS,
     run_first_order,

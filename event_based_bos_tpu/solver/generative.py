@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import costs as costs_mod
-from ..ops.gradients import frame_gradients, poisson_to_flow
+from ..ops.gradients import poisson_to_flow
 from ..ops.image_warp import (
     resize_bilinear,
     warp_image_forward,

@@ -25,7 +25,6 @@ import numpy as np
 
 from ..ops.gradients import frame_gradients, poisson_to_flow
 from ..ops.image_warp import warp_image_shift
-from ..ops.iwe import count_image
 from ..optim import run_first_order
 from ..types import Events, PatchGrid
 from .generative import (

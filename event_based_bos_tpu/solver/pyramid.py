@@ -33,7 +33,6 @@ from .generative import (
     dense_objective,
     iwe_cache,
     measured_increment,
-    params_to_fields,
     patch_to_dense,
     initialize_params,
 )

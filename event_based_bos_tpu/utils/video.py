@@ -9,7 +9,6 @@ a no-op with a warning when no codec is available.
 
 from __future__ import annotations
 
-import glob
 import logging
 import os
 import pathlib
