@@ -189,3 +189,48 @@ def test_warm_start_sequence(scene):
     assert solv.previous_frame_best_estimation is not None
     f2 = solv.estimate(events, None, frame=I2, background=I1)
     assert np.isfinite(f2).all()
+
+
+def test_gml_facade_optuna_style_config(scene):
+    """YAML optimizer method 'optuna' + sampler maps to the batched sampler."""
+    I1, _, events = scene
+    cfg = {
+        "filter": {"filters": None,
+                   "parameters": {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W}},
+        "method": "generative_max_likelihood",
+        "outer_padding": 0,
+        "cost_with_weight": {"diff_norm": 1.0},
+        "optimizer": {"method": "optuna", "sampler": "random", "n_iter": 64,
+                      "parameters": {"v_x": {"min": -3, "max": 3},
+                                     "v_y": {"min": -3, "max": 3}}},
+        "generative_ml": {"weight_loss_by_event_hist": False,
+                          "weight_sigma": 5,
+                          "weight_loss_by_inverse_event_hist": False,
+                          "optimize_warp": False, "iwe_sigma": 2,
+                          "viz_diff_scale": [-0.25, 0.25],
+                          "no_polarity": False, "model_image": "current",
+                          "use_log_intensity": False, "poisson_model": False},
+    }
+    solv = collections["generative_max_likelihood"]((H, W), (H, W), {}, cfg,
+                                                    None)
+    flow = solv.estimate(events, None, frame=I1, background=I1)
+    assert flow.shape == (2, H, W) and np.isfinite(flow).all()
+
+
+@pytest.mark.parametrize("model_image", ["background", "black"])
+def test_model_image_variants(scene, model_image):
+    I1, I2, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["generative_ml"] = dict(cfg["generative_ml"], model_image=model_image)
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    flow = solv.estimate(events, None, frame=I1, background=I2)
+    assert np.isfinite(flow).all()
+
+
+def test_no_polarity_mode(scene):
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["generative_ml"] = dict(cfg["generative_ml"], no_polarity=True)
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    flow = solv.estimate(events, None, frame=I1, background=I1)
+    assert np.isfinite(flow).all()
