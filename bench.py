@@ -23,6 +23,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compilation cache: repeat runs skip the ~5 min remote compile
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 H, W = 720, 1280
 ROI = (0, 720, 320, 960)
 N_ITER = 600
@@ -92,18 +100,21 @@ def measure_iwe_throughput(events, repeats=10):
     from event_based_bos_tpu.ops.iwe import create_polarity_iwe
 
     ev = events_from_ndarray(events, capacity=CAPACITY)
-    fn = jax.jit(lambda e: create_polarity_iwe(e, (H, W)))
-    out = fn(ev)
+    # chain the output back into the input so the `repeats` executions form a
+    # dependency chain; one final fetch then syncs the whole chain (per-run
+    # fetches are noisier than the ~20 ms kernel itself)
+    fn = jax.jit(lambda e, o: (create_polarity_iwe(e, (H, W))
+                               + 0.0 * o[0, 0, 0]))
+    out = fn(ev, jnp.zeros((2, H, W)))
     _ = float(out.sum())
     t0 = time.perf_counter()
-    for _ in range(3):
-        _ = float(out.sum())
-    fetch_s = (time.perf_counter() - t0) / 3
+    _ = float(out.sum())
+    fetch_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = fn(ev)
-        _ = float(out.sum())
-    dt = max((time.perf_counter() - t0) / repeats - fetch_s, 1e-9)
+        out = fn(ev, out)
+    _ = float(out.sum())
+    dt = max((time.perf_counter() - t0 - fetch_s) / repeats, 1e-9)
     return CAPACITY / dt
 
 
