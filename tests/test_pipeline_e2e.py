@@ -141,3 +141,89 @@ def test_resume_skips_computed_frames(tiny_config, tmp_path):
     rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
     assert rc == 0
     assert len(json.load(open(manifest))) == n1
+
+
+def test_ccs_recording_end_to_end(tmp_path):
+    """Write a synthetic recording in the CCS on-disk format and run the full
+    CLI evaluation on it (HDF5 axis swap, trigger timestamps, homography,
+    mp4 frame cache)."""
+    import cv2
+    import h5py
+
+    from event_based_bos_tpu.data.synthetic import (SyntheticBosConfig,
+                                                    generate_sequence)
+
+    h, w = 96, 128
+    seq = generate_sequence(SyntheticBosConfig(height=h, width=w,
+                                               duration=0.2, fps=30,
+                                               events_per_frame=8000, seed=2))
+    root = tmp_path / "datasets"
+    d = root / "CCS" / "synth"
+    (d / "prophesee_0").mkdir(parents=True)
+    (d / "basler_0").mkdir(parents=True)
+    ev = seq["events"]
+    with h5py.File(d / "prophesee_0" / "events.hdf5", "w") as f:
+        g = f.create_group("raw_events")
+        g.create_dataset("x", data=ev[:, 1].astype(np.int16))  # sensor x = col
+        g.create_dataset("y", data=ev[:, 0].astype(np.int16))  # sensor y = row
+        g.create_dataset("t", data=(ev[:, 2] * 1e6).astype(np.int32))
+        g.create_dataset("p", data=(ev[:, 3] > 0))
+    trig = np.stack([(seq["frame_ts"] * 1e6).astype(int),
+                     np.zeros(len(seq["frame_ts"]), int),
+                     np.ones(len(seq["frame_ts"]), int)], 1)
+    np.savetxt(d / "prophesee_0" / "trigger_events.txt", trig, fmt="%d")
+    np.savetxt(d / "homography.txt", np.eye(3))
+    vw = cv2.VideoWriter(str(d / "basler_0" / "frames.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    if not vw.isOpened():
+        pytest.skip("no mp4 codec available")
+    for fr in seq["frames"]:
+        vw.write(cv2.cvtColor(fr.astype(np.uint8), cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    cfg = {
+        "data": {"root": str(root), "dataset": "CCS", "sequence": "synth",
+                 "height": h, "width": w, "warp": True},
+        "output_dir": str(tmp_path / "out_ccs"),
+        "evaluation": {"metrics": ["flow"], "time_list": [[0.03, 0.15]]},
+        "common_params": {"n_frames": 1, "xmin": 0, "xmax": 96,
+                          "ymin": 16, "ymax": 112},
+        "solver": {
+            "filter": {"filters": None, "parameters": {}},
+            "method": "patch_eklt_pyramid2",
+            "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0, "flow_norm_pxy": 0.1},
+            "optimizer": {"method": "Adam", "n_iter": 24},
+            "generative_ml": {"weight_loss_by_event_hist": False,
+                              "weight_sigma": 5,
+                              "weight_loss_by_inverse_event_hist": False,
+                              "optimize_warp": True, "iwe_sigma": 2,
+                              "viz_diff_scale": [-0.25, 0.25],
+                              "no_polarity": False, "model_image": "current",
+                              "use_log_intensity": False,
+                              "poisson_model": True},
+            "patch_eklt": {"patch_size": 16, "sliding_window": 16,
+                           "do_event_thresholding": False, "event_thres": 8,
+                           "coarsest_patch_size": 16, "finest_patch_size": 8},
+        },
+        "method": "opencv_flow",
+        "estimation_method": "solver",
+        "params_opencv_flow": {"pyr_scale": 0.5, "levels": 3, "winsize": 10,
+                               "iterations": 2, "poly_n": 5,
+                               "poly_sigma": 1.2, "flags": 0},
+        "params_openpiv": {"deformation_method": "symmetric",
+                           "windowsizes": [32, 16], "overlap": [16, 8],
+                           "MinMax_U_disp": [-20, 20],
+                           "MinMax_V_disp": [-20, 20]},
+    }
+    p = tmp_path / "ccs.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+    out = tmp_path / "out_ccs"
+    from event_based_bos_tpu.utils import read_flow_error_text
+
+    _, stats = read_flow_error_text(
+        str(out / "flow_error_per_frame_without_mask.txt"))
+    assert np.isfinite(stats["EPE"]["mean"])
+    assert stats["EPE"]["n_data"] >= 2
