@@ -28,60 +28,78 @@ def _install_stubs():
     import torch.nn.functional as F
 
     def mod(name):
+        """Return the real module when importable, else a fresh stub.
+
+        Never shadow an importable module — attribute assignments below are
+        applied only to stubs (guarded by ``_is_stub``).
+        """
         m = sys.modules.get(name)
         if m is None:
-            m = types.ModuleType(name)
-            sys.modules[name] = m
+            try:
+                import importlib
+
+                m = importlib.import_module(name)
+            except ImportError:
+                m = types.ModuleType(name)
+                m.__ebt_stub__ = True
+                sys.modules[name] = m
         return m
 
+    def _is_stub(m):
+        return getattr(m, "__ebt_stub__", False)
+
     optuna = mod("optuna")
-    samplers = mod("optuna.samplers")
-    storages = mod("optuna.storages")
-    distributions = mod("optuna.distributions")
-    trial = mod("optuna.trial")
+    if _is_stub(optuna):
+        samplers = mod("optuna.samplers")
+        storages = mod("optuna.storages")
+        distributions = mod("optuna.distributions")
+        trial = mod("optuna.trial")
 
-    class _InMemoryStorage:
-        def __init__(self, *a, **k):
-            pass
+        class _InMemoryStorage:
+            def __init__(self, *a, **k):
+                pass
 
-    storages.InMemoryStorage = _InMemoryStorage
-    distributions.BaseDistribution = object
-    trial.TrialState = object
-    optuna.samplers = samplers
-    optuna.storages = storages
-    optuna.distributions = distributions
-    optuna.trial = trial
-    optuna.Trial = object
-    optuna.create_study = None
+        storages.InMemoryStorage = _InMemoryStorage
+        distributions.BaseDistribution = object
+        trial.TrialState = object
+        optuna.samplers = samplers
+        optuna.storages = storages
+        optuna.distributions = distributions
+        optuna.trial = trial
+        optuna.Trial = object
+        optuna.create_study = None
 
     openpiv = mod("openpiv")
-    for sub in ("windef", "tools", "filters", "preprocess", "pyprocess",
-                "scaling", "smoothn", "validation"):
-        m = mod(f"openpiv.{sub}")
-        setattr(openpiv, sub, m)
-    sys.modules["openpiv.windef"].Settings = object
-    sys.modules["openpiv.windef"].first_pass = None
-    sys.modules["openpiv.windef"].multipass_img_deform = None
-    sys.modules["openpiv.tools"].transform_coordinates = None
+    if _is_stub(openpiv):
+        for sub in ("windef", "tools", "filters", "preprocess", "pyprocess",
+                    "scaling", "smoothn", "validation"):
+            m = mod(f"openpiv.{sub}")
+            setattr(openpiv, sub, m)
+        sys.modules["openpiv.windef"].Settings = object
+        sys.modules["openpiv.windef"].first_pass = None
+        sys.modules["openpiv.windef"].multipass_img_deform = None
+        sys.modules["openpiv.tools"].transform_coordinates = None
 
     skimage = mod("skimage")
-    skutil = mod("skimage.util")
-    skutil.invert = lambda x: 255 - x
-    skimage.util = skutil
-    sktr = mod("skimage.transform")
-    skimage.transform = sktr
+    if _is_stub(skimage):
+        skutil = mod("skimage.util")
+        skutil.invert = lambda x: 255 - x
+        skimage.util = skutil
+        sktr = mod("skimage.transform")
+        skimage.transform = sktr
 
     mod("plotly")
     mod("plotly.graph_objects")
     mod("ffmpeg")
     mod("hdf5plugin")
-    h5py = mod("h5py")
-    h5py.File = None
+    mod("h5py")  # real h5py is importable in this image; stub only if absent
 
     # torchvision: faithful bilinear resize (align_corners=False, no
     # antialias — the semantics of the version the reference pins) and a
     # separable reflect-padded gaussian blur.
     tv = mod("torchvision")
+    if not _is_stub(tv):
+        return
     transforms = mod("torchvision.transforms")
     tf = mod("torchvision.transforms.functional")
 
