@@ -171,9 +171,23 @@ def iwe_cache(ev: Events, spec: GenerativeSpec):
       * weight_inverse — down-weighting map for event-dense regions
         (σ=10 scipy-style blur, clip at mean+std/2, scale, ``1 − 0.95·x``).
 
-    Parity: ``PatchEklt.calculate_iwe_cache`` (``patch_eklt.py:271-306``).
+    Parity: ``PatchEklt.calculate_iwe_cache`` (``patch_eklt.py:271-306``)
+    — the reference scatters positive and negative votes into separate
+    images and subtracts; here one signed scatter produces ``pos − neg``
+    (or ``pos + neg`` for ``no_polarity``) directly, mathematically
+    identical at half the scatter cost.
     """
-    return iwe_cache_from_votes(polarity_votes(ev, spec), spec)
+    from ..ops.iwe import bilinear_vote
+
+    ev = ev.astype(spec.dtype)
+    if spec.no_polarity:
+        hist = bilinear_vote(ev, spec.image_size)
+    else:
+        sign = jnp.where(ev.p > 0, jnp.asarray(1, spec.dtype),
+                         jnp.asarray(-1, spec.dtype))
+        hist = bilinear_vote(ev, spec.image_size, weight=sign)
+    pseudo_votes = jnp.stack([hist, jnp.zeros_like(hist)])
+    return iwe_cache_from_votes(pseudo_votes, spec)
 
 
 def measured_increment(
