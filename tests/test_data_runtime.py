@@ -215,3 +215,20 @@ class TestHeliumLoader:
         assert abs(t1 - 2 / 1000.0) < 1e-12
         with pytest.raises(NotImplementedError):
             loader.load_event(0, 10)
+
+
+def test_ccs_thermal_loading(tmp_path):
+    from event_based_bos_tpu.data import CcsDataLoader
+
+    seq = tmp_path / "CCS" / "t"
+    (seq / "thermal").mkdir(parents=True)
+    (seq / "prophesee_0").mkdir()
+    arr = np.arange(12.0).reshape(3, 4)
+    with open(seq / "thermal" / "frame0.csv", "w") as f:
+        for row in arr:
+            f.write(",".join(str(v) for v in row) + "\n")
+    loader = CcsDataLoader({"root": str(tmp_path), "dataset": "CCS",
+                            "height": 3, "width": 4})
+    loader.dataset_files = loader.get_sequence("t")
+    assert loader.num_thermals == 1
+    np.testing.assert_allclose(loader.load_thermal(0), arr)

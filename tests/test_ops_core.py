@@ -362,3 +362,46 @@ class TestStencilWarp:
         g = jax.grad(f)(jnp.full((8, 10), 0.3))
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestRemainingEventOps:
+    def test_search_exact_event(self):
+        from event_based_bos_tpu.ops import search_exact_event
+
+        evn = make_events(fractional=False)
+        ev = events_from_ndarray(evn, dtype=jnp.float64)
+        x0, y0 = evn[0, 0], evn[0, 1]
+        found = search_exact_event(ev, x0, y0)
+        want = ((evn[:, 0] == x0) & (evn[:, 1] == y0)).sum()
+        assert int(found.count()) == int(want)
+
+    def test_shift_and_origin(self):
+        from event_based_bos_tpu.ops import set_event_origin_to_zero, shift_event
+
+        evn = make_events()
+        ev = events_from_ndarray(evn, dtype=jnp.float64)
+        s = shift_event(ev, 2.0, -3.0)
+        np.testing.assert_allclose(np.asarray(s.x), evn[:, 0] + 2)
+        o = set_event_origin_to_zero(ev, 5.0, 7.0, 0.1)
+        np.testing.assert_allclose(np.asarray(o.t), evn[:, 2] - 0.1)
+
+    def test_undistort_events(self):
+        from event_based_bos_tpu.ops import undistort_events
+
+        evn = make_events(h=8, w=10, fractional=False)
+        ev = events_from_ndarray(evn, dtype=jnp.float64)
+        # identity maps: map_y gives the row back, map_x the col
+        gy, gx = np.mgrid[0:8, 0:10].astype(np.float64)
+        out = undistort_events(ev, jnp.asarray(gx), jnp.asarray(gy), 8, 10)
+        np.testing.assert_allclose(np.asarray(out.x), evn[:, 0])
+        np.testing.assert_allclose(np.asarray(out.y), evn[:, 1])
+        assert int(out.count()) == len(evn)
+
+    def test_random_sample_event(self):
+        from event_based_bos_tpu.ops import random_sample_event
+
+        evn = make_events(n=2000)
+        ev = events_from_ndarray(evn, dtype=jnp.float64)
+        s = random_sample_event(jax.random.PRNGKey(0), ev, 25.0)
+        frac = int(s.count()) / 2000
+        assert 0.18 < frac < 0.32
