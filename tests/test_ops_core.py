@@ -405,3 +405,72 @@ class TestRemainingEventOps:
         s = random_sample_event(jax.random.PRNGKey(0), ev, 25.0)
         frac = int(s.count()) / 2000
         assert 0.18 < frac < 0.32
+
+
+class TestIweVariants:
+    """IWA / IWD / IWT / probability / timeimage parity vs the reference."""
+
+    @pytest.fixture(scope="class")
+    def ref_eic(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from reference_harness import load_reference, reference_available
+
+        if not reference_available():
+            pytest.skip("reference tree not mounted")
+        return load_reference().event_image_converter.EventImageConverter((32, 48))
+
+    def _pair(self):
+        evn = make_events()
+        rng = np.random.default_rng(5)
+        per_event = rng.uniform(0.5, 2.0, len(evn))
+        ev = events_from_ndarray(evn, dtype=jnp.float64)
+        return evn, per_event, ev
+
+    def test_iwa(self, ref_eic):
+        from event_based_bos_tpu.ops import create_iwa
+
+        evn, det_j, ev = self._pair()
+        want = ref_eic.create_iwa(evn, det_j, sigma=1)
+        got = create_iwa(ev, (32, 48), jnp.asarray(det_j), sigma=1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_iwd(self, ref_eic):
+        from event_based_bos_tpu.ops import create_iwd
+
+        evn, div, ev = self._pair()
+        want = ref_eic.create_iwd(evn, div, sigma=1)
+        got = create_iwd(ev, (32, 48), jnp.asarray(div), sigma=1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_iwt(self, ref_eic):
+        from event_based_bos_tpu.ops import create_iwt
+
+        evn, trace, ev = self._pair()
+        want = ref_eic.create_iwt(evn, trace, sigma=1)
+        got = create_iwt(ev, (32, 48), jnp.asarray(trace), sigma=1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_probability_iwe(self, ref_eic):
+        from event_based_bos_tpu.ops import create_probability_iwe
+
+        evn, prob, ev = self._pair()
+        want = ref_eic.create_probability_iwe(evn, prob, sigma=1)
+        got = create_probability_iwe(ev, (32, 48), jnp.asarray(prob), sigma=1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_timeimage(self, ref_eic):
+        from event_based_bos_tpu.ops import create_timeimage
+
+        evn, _, ev = self._pair()
+        want = ref_eic.create_timeimage(evn, evn[:, 2], sigma=1)
+        got = create_timeimage(ev, (32, 48), sigma=1)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_count_vs_reference(self, ref_eic):
+        from event_based_bos_tpu.ops import create_image_from_events
+
+        evn, _, ev = self._pair()
+        want = ref_eic.create_image_from_events_numpy(evn, "count", sigma=0)
+        got = create_image_from_events(ev, (32, 48), "count", sigma=0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-9)
