@@ -217,7 +217,10 @@ def measured_increment(
 # ---------------------------------------------------------------------------
 
 def patch_to_dense(
-    field: jax.Array, grid: PatchGrid, out_size: Optional[Tuple[int, int]] = None
+    field: jax.Array,
+    grid: PatchGrid,
+    out_size: Optional[Tuple[int, int]] = None,
+    crop: Optional[Tuple[int, int, int, int]] = None,
 ) -> jax.Array:
     """Interpolate a per-patch field ``[..., gh, gw]`` to dense ``[..., H, W]``.
 
@@ -225,7 +228,14 @@ def patch_to_dense(
     ``patch_eklt.py:173-204``): replicate-pad the patch grid by
     ``patch/2 // stride + 1``, bilinear-resize by the stride factor
     (half-pixel sampling = torchvision resize), then center-crop to the image.
+
+    Implemented by slicing the cached interpolation matrices to exactly the
+    output rows/cols, so no out-of-crop pixels are ever computed.  ``crop``
+    (x0, x1, y0, y1 in image coordinates) restricts the output further —
+    used by the ROI-restricted objective.
     """
+    from ..ops.image_warp import resize_matrix
+
     gh, gw = field.shape[-2:]
     ph = int(grid.patch_size[0] / 2 // grid.stride[0]) + 1
     pw = int(grid.patch_size[1] / 2 // grid.stride[1]) + 1
@@ -234,15 +244,20 @@ def patch_to_dense(
     padded = jnp.pad(field, widths, mode="edge")
     up_h = (gh + 2 * ph) * grid.stride[0]
     up_w = (gw + 2 * pw) * grid.stride[1]
-    up = resize_bilinear(padded, (up_h, up_w))
-    ch, cw = up_h // 2, up_w // 2
-    h1 = ch - out_h // 2
-    w1 = cw - out_w // 2
-    return up[..., h1 : h1 + out_h, w1 : w1 + out_w]
+    h1 = up_h // 2 - out_h // 2
+    w1 = up_w // 2 - out_w // 2
+    x0, x1, y0, y1 = crop if crop is not None else (0, out_h, 0, out_w)
+    mh = resize_matrix(gh + 2 * ph, up_h, padded.dtype)[h1 + x0:h1 + x1]
+    mw = resize_matrix(gw + 2 * pw, up_w, padded.dtype)[w1 + y0:w1 + y1]
+    out = jnp.einsum("oh,...hw->...ow", mh, padded,
+                     preferred_element_type=padded.dtype)
+    return jnp.einsum("pw,...ow->...op", mw, out,
+                      preferred_element_type=padded.dtype)
 
 
 def params_to_fields(
-    params: jax.Array, grid: PatchGrid, spec: GenerativeSpec
+    params: jax.Array, grid: PatchGrid, spec: GenerativeSpec,
+    crop: Optional[Tuple[int, int, int, int]] = None,
 ) -> Dict[str, jax.Array]:
     """Unfold the joint parameter field ``[n_dim, gh, gw]`` to dense fields.
 
@@ -274,7 +289,7 @@ def params_to_fields(
     stacked = jnp.concatenate(fields, axis=0)
     if spec.compute_dtype is not None:
         stacked = stacked.astype(spec.compute_dtype)
-    dense = patch_to_dense(stacked, grid)
+    dense = patch_to_dense(stacked, grid, crop=crop)
     out: Dict[str, jax.Array] = {}
     pos = 0
     for name, f in zip(names, fields):
@@ -339,6 +354,7 @@ def dense_objective(
     grid: PatchGrid,
     spec: GenerativeSpec,
     weights: Optional[jax.Array] = None,
+    roi_crop: Optional[Tuple[int, int, int, int]] = None,
 ):
     """Full-image joint objective over the ``[n_dim, gh, gw]`` parameter field.
 
@@ -346,8 +362,13 @@ def dense_objective(
     (``patch_eklt_pyramid2.py:368-397``): hybrid cost of prediction vs
     measurement with the masked flow / pxy / intensity terms.
     Returns ``(loss, per-term dict)``.
+
+    With ``roi_crop`` all dense fields (and the supplied constant images,
+    which the caller must pre-crop) cover only the ROI box — ~2× less dense
+    work for the benchmark ROI; normalizations then run over the ROI instead
+    of the full frame (opt-in approximation, ``restrict_to_roi``).
     """
-    fields = params_to_fields(params, grid, spec)
+    fields = params_to_fields(params, grid, spec, crop=roi_crop)
     pred = predict_increment(
         fields["flow"], gx, gy, spec, fields.get("pxy"), weights, mask)
     arg = {

@@ -55,6 +55,11 @@ class PyramidSpec:
     lr_decay: float = 0.1
     offset: Tuple[int, int] = (0, 0)
     track_best: bool = True
+    # Opt-in speed mode: evaluate the objective only on the ROI box (~2x
+    # less dense work for the benchmark ROI).  Changes the normalization
+    # domain from the full frame to the ROI — an approximation, off by
+    # default (see dense_objective docstring).
+    restrict_to_roi: bool = False
 
     @property
     def n_scales(self) -> int:
@@ -121,6 +126,18 @@ def solve_pyramid(
     grids = pyramid_grids(spec)
     iters = scale_iterations(spec)
 
+    roi_crop = None
+    gx_o, gy_o, wi_o, mask_o, weights_o = gx, gy, weight_inverse, mask, weights
+    if spec.restrict_to_roi:
+        roi_crop = spec.roi
+        x0, x1, y0, y1 = roi_crop
+        measured = measured[x0:x1, y0:y1]
+        gx = gx[x0:x1, y0:y1]
+        gy = gy[x0:x1, y0:y1]
+        mask = mask[x0:x1, y0:y1]
+        weight_inverse = weight_inverse[x0:x1, y0:y1]
+        weights = None if weights is None else weights[x0:x1, y0:y1]
+
     if gen.compute_dtype is not None:
         # cast the optimization-loop constants once; params/optimizer state
         # stay in gen.dtype (grads are cast back by autodiff)
@@ -153,7 +170,7 @@ def solve_pyramid(
         def objective(p, _grid=grid):
             return dense_objective(
                 p, measured, gx, gy, weight_inverse, mask, _grid, gen,
-                weights=weights)
+                weights=weights, roi_crop=roi_crop)
 
         result = run_first_order(
             objective, x0, n_it, method=spec.method,
@@ -170,7 +187,7 @@ def solve_pyramid(
         patch_flow = jnp.stack([jnp.sin(params[0]), jnp.cos(params[0])])
     else:
         patch_flow = params[:2]
-    dense_flow = patch_to_dense(patch_flow, grids[-1]) * mask
+    dense_flow = patch_to_dense(patch_flow, grids[-1]) * mask_o
 
     aux = {
         "params_per_scale": params_per_scale,
@@ -178,7 +195,7 @@ def solve_pyramid(
         "term_history": term_histories,
     }
     if gen.optimize_warp:
-        aux["pxy"] = patch_to_dense(params[-2:], grids[-1]) * mask
+        aux["pxy"] = patch_to_dense(params[-2:], grids[-1]) * mask_o
     return dense_flow, aux
 
 
