@@ -431,6 +431,7 @@ class PatchEkltPyramid2(SolverBase):
             lr=float(opt.get("lr", 0.05)),
             lr_decay=float(opt.get("lr_decay", 0.1)),
             track_best=bool(self.slv_config.get("track_best", True)),
+            restrict_to_roi=bool(self.slv_config.get("restrict_to_roi", False)),
         )
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}
