@@ -199,8 +199,15 @@ def evaluate_flow_on_event_grids(config, loader, viz):
             viz.visualize_image(hist2.astype(np.uint8), file_prefix="hist2")
 
 
-def estimate_sequential(config, loader, solv):
-    """Sequential filtering/visualization pass (``bos_event.py:223-264``)."""
+def estimate_sequential(config, loader, solv, run_estimation: bool = False):
+    """Sequential pass over fixed-stride time windows.
+
+    Parity: ``bos_event.py:223-264`` — the reference ships this loop with the
+    actual ``solv.estimate`` call commented out (it only renders filtered
+    event videos).  ``run_estimation=True`` (config ``run_mode:
+    sequential_estimate``) enables true streaming flow estimation with the
+    previous frame warm-starting the next (``warm_start: true``).
+    """
     eval_config = config["evaluation"]
     eval_dt = eval_config["dt"]
     sliding_window = 0.01
@@ -215,6 +222,17 @@ def estimate_sequential(config, loader, solv):
             solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
                                          "timestamps_per_frame.txt")
             solv.visualize_original_sequential(batch, filtered)
+            if run_estimation:
+                frame = None
+                if hasattr(loader, "time_to_image_index"):
+                    try:
+                        frame, _ts = loader.load_image(
+                            max(loader.time_to_image_index(t1), 0))
+                    except (NotImplementedError, AssertionError, IndexError):
+                        frame = None
+                estimation = solv.estimate(filtered, None, frame=frame,
+                                           background=frame)
+                solv.visualize_pred_sequential(filtered, estimation)
             i_frame += 1
 
 
@@ -293,6 +311,8 @@ def main(argv=None):
             evaluate_per_frames(config, loader, solv, viz)
     elif config.get("run_mode") == "accumulate":
         accumulate_sequential(config, loader, solv)
+    elif config.get("run_mode") == "sequential_estimate":
+        estimate_sequential(config, loader, solv, run_estimation=True)
     else:
         estimate_sequential(config, loader, solv)
 

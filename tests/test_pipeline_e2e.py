@@ -227,3 +227,20 @@ def test_ccs_recording_end_to_end(tmp_path):
         str(out / "flow_error_per_frame_without_mask.txt"))
     assert np.isfinite(stats["EPE"]["mean"])
     assert stats["EPE"]["n_data"] >= 2
+
+
+def test_sequential_estimate_mode(tiny_config, tmp_path):
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["run_mode"] = "sequential_estimate"
+    cfg["solver"]["warm_start"] = True
+    cfg["evaluation"]["time_list"] = [[0.05, 0.09]]
+    p = tmp_path / "seq_est.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--log", "warning"])
+    assert rc == 0
+    files = os.listdir(out_dir)
+    flows = [f for f in files if f.startswith("pred_flow") and f.endswith(".npy")]
+    assert len(flows) >= 2
+    arr = np.load(os.path.join(out_dir, flows[0]))
+    assert np.isfinite(arr).all()
