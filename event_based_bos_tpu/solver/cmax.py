@@ -160,12 +160,27 @@ def binned_histograms(ev: Events, spec: CmaxSpec):
     return hists, dt
 
 
+def _roi_box(spec: CmaxSpec):
+    """ROI box expanded by the warp radius (content can flow in from the
+    margin), clipped to the frame."""
+    if spec.roi is None:
+        return None
+    h, w = spec.image_size
+    x0, x1, y0, y1 = spec.roi
+    r = spec.warp_radius
+    return (max(0, x0 - r), min(h, x1 + r), max(0, y0 - r), min(w, y1 + r))
+
+
 def binned_iwe(hists: jax.Array, dt: jax.Array, flow: jax.Array,
                spec: CmaxSpec) -> jax.Array:
     """IWE of the binned representation under a candidate dense flow.
 
     Event mass in bin b displaces by ``−dt_b·flow``; the equivalent image
     operation is the gather-free stencil warp with shift ``−dt_b·flow``.
+
+    When ``hists``/``flow`` cover only the expanded ROI box (see
+    :func:`_roi_box` and the cropped path in :func:`solve_cmax_dense`), the
+    returned IWE is the ROI crop directly.
     """
     if spec.use_pallas and jax.default_backend() == "tpu":
         from ..ops.cmax_pallas import binned_warp_accumulate
@@ -181,7 +196,16 @@ def binned_iwe(hists: jax.Array, dt: jax.Array, flow: jax.Array,
     if spec.iwe_sigma:
         iwe = gaussian_blur(iwe, spec.iwe_sigma, mode="reflect")
     if spec.roi is not None:
-        x0, x1, y0, y1 = spec.roi
+        # slice the ROI out of whatever box the inputs covered
+        box = _roi_box(spec)
+        if hists.shape[-2:] == tuple(spec.image_size):
+            x0, x1, y0, y1 = spec.roi
+        else:
+            bx0, _bx1, by0, _by1 = box
+            x0 = spec.roi[0] - bx0
+            x1 = spec.roi[1] - bx0
+            y0 = spec.roi[2] - by0
+            y1 = spec.roi[3] - by0
         iwe = iwe[x0:x1, y0:y1]
     return iwe
 
@@ -199,8 +223,12 @@ def solve_cmax_dense(ev: Events, key: jax.Array, spec: CmaxSpec,
     """
     ref_time = calculate_reftime(ev, spec.direction)
     hists = dts = None
+    box = _roi_box(spec)
     if spec.time_bins > 0:
         hists, dts = binned_histograms(ev, spec)
+        if box is not None:
+            bx0, bx1, by0, by1 = box
+            hists = hists[:, bx0:bx1, by0:by1]
     grids: List[PatchGrid] = []
     for i in range(spec.n_scales):
         p = spec.coarsest_patch // (2**i)
@@ -220,13 +248,19 @@ def solve_cmax_dense(ev: Events, key: jax.Array, spec: CmaxSpec,
             x0 = resize_bilinear(params, grid.shape)
 
         def objective(p, _grid=grid):
-            flow = patch_to_dense(p, _grid)
             if spec.time_bins > 0:
-                iwe = binned_iwe(hists, dts, flow, spec)
-            else:
-                warped = warp_event_dense_flow(ev, flow, ref_time,
-                                               normalize_t=True)
-                iwe = _roi_iwe(warped, spec)
+                flow_box = patch_to_dense(p, _grid, crop=box)
+                iwe = binned_iwe(hists, dts, flow_box, spec)
+                loss = contrast_loss(iwe, spec)
+                if spec.smoothness:
+                    loss = loss + spec.smoothness * costs_mod.image_gradient(
+                        {"flow": flow_box, "weights": 1.0,
+                         "omit_boundary": True})
+                return loss
+            flow = patch_to_dense(p, _grid)
+            warped = warp_event_dense_flow(ev, flow, ref_time,
+                                           normalize_t=True)
+            iwe = _roi_iwe(warped, spec)
             loss = contrast_loss(iwe, spec)
             if spec.smoothness:
                 loss = loss + spec.smoothness * costs_mod.image_gradient(
