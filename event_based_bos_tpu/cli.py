@@ -149,6 +149,13 @@ def evaluate_per_frames(config, loader, solv, viz):
                                                  roi=roi)
             solv.save_flow_error_as_text(i_frame, err_mask,
                                          "flow_error_per_frame_with_mask.txt")
+            if "fwl" in eval_config.get("metrics", []):
+                # Flow Warp Loss (Stoffregen 2020): the reference declares
+                # this metric but its implementation is dead
+                # (``base.py:319-340``); it works here.
+                fwl = solv.calculate_fwl(estimation * scale, filtered)
+                solv.save_flow_error_as_text(i_frame, fwl,
+                                             "fwl_per_frame.txt")
             solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
                                          "timestamps_per_frame.txt")
             if store is not None:

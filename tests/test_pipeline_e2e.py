@@ -244,3 +244,17 @@ def test_sequential_estimate_mode(tiny_config, tmp_path):
     assert len(flows) >= 2
     arr = np.load(os.path.join(out_dir, flows[0]))
     assert np.isfinite(arr).all()
+
+
+def test_fwl_metric_in_eval(tiny_config, tmp_path):
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["evaluation"]["metrics"] = ["flow", "fwl"]
+    p = tmp_path / "fwl.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+    from event_based_bos_tpu.utils import read_flow_error_text
+
+    per, stats = read_flow_error_text(os.path.join(out_dir, "fwl_per_frame.txt"))
+    assert np.isfinite(stats["FWL"]["mean"])
