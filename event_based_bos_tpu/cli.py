@@ -202,6 +202,7 @@ def evaluate_flow_on_event_grids(config, loader, viz):
             flow, _fig = estimator.consecutive_openpiv(hist1, hist2, config)
             viz.visualize_optical_flow(flow[0], flow[1],
                                        file_prefix="event_flow_openpiv")
+            viz.visualize_vector_field(flow, file_prefix="event_flow_vector")
             viz.visualize_image(hist1.astype(np.uint8), file_prefix="hist1")
             viz.visualize_image(hist2.astype(np.uint8), file_prefix="hist2")
 
