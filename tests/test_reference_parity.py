@@ -163,3 +163,73 @@ class TestFullSolveParity:
         rel_rmse = np.sqrt(np.mean((mine - ref_flow) ** 2)) / ref_flow.std()
         assert corr > 0.98, corr
         assert rel_rmse < 0.2, rel_rmse
+
+
+class TestGmlParity:
+    """Whole-ROI measured increment / prediction vs the reference GML."""
+
+    @pytest.fixture(scope="class")
+    def ref_gml(self, scene):
+        from reference_harness import load_reference
+
+        ref = load_reference()
+        cfg = {
+            "filter": {"filters": [],
+                       "parameters": {"xmin": 8, "xmax": 56, "ymin": 16,
+                                      "ymax": 80}},
+            "method": "generative_max_likelihood",
+            "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0},
+            "optimizer": {"method": "optuna", "sampler": "random",
+                          "n_iter": 10,
+                          "parameters": {"v_x": {"min": -3, "max": 3},
+                                         "v_y": {"min": -3, "max": 3},
+                                         "p_x": {"min": -1, "max": 1},
+                                         "p_y": {"min": -1, "max": 1}}},
+            "generative_ml": {"weight_loss_by_event_hist": True,
+                              "weight_sigma": 5,
+                              "weight_loss_by_inverse_event_hist": False,
+                              "optimize_warp": False, "iwe_sigma": 2,
+                              "viz_diff_scale": [-0.25, 0.25],
+                              "no_polarity": False, "model_image": "current",
+                              "use_log_intensity": False,
+                              "angle_model": False, "poisson_model": False},
+        }
+        viz = ref.visualizer.Visualizer((H, W), show=False, save=False,
+                                        save_dir="/tmp/ref_gml_out")
+        return ref.solver.collections["generative_max_likelihood"](
+            (H, W), (H, W), {}, cfg, viz)
+
+    def test_measured_increment_roi_and_weights(self, scene, ref_gml):
+        I1, _, events = scene
+        ref_m, ref_w = ref_gml._make_measured_increment(
+            events, {"xmin": 8, "xmax": 56, "ymin": 16, "ymax": 80})
+        gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                             weight_by_event_hist=True, weight_sigma=5.0,
+                             weight_by_inverse_event_hist=False,
+                             optimize_warp=False, poisson_model=False,
+                             dtype=jnp.float64,
+                             cost_weights=(("diff_norm", 1.0),))
+        ev = events_from_ndarray(events, dtype=jnp.float64)
+        hist, weights, _wi = iwe_cache(ev, gen)
+        mine = measured_increment(hist, weights, roi=(8, 56, 16, 80))
+        np.testing.assert_allclose(np.asarray(mine), ref_m, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(weights[8:56, 16:80]), ref_w,
+                                   atol=2e-4)
+
+    def test_prediction_numpy_path(self, scene, ref_gml):
+        I1, _, events = scene
+        ref_gml._set_frame(I1)
+        params = {"v_x": 1.3, "v_y": -0.7}
+        roi = {"xmin": 8, "xmax": 56, "ymin": 16, "ymax": 80}
+        want = ref_gml._make_prediction_numpy(params, roi, None)
+
+        from event_based_bos_tpu.ops.gradients import frame_gradients
+        from event_based_bos_tpu.solver.generative import NORM_EPS
+
+        gx, gy = frame_gradients(jnp.asarray(I1, jnp.float64))
+        pred = 1.3 * gx[8:56, 16:80] + (-0.7) * gy[8:56, 16:80]
+        # reference numpy path normalizes WITHOUT the +1e-4 epsilon
+        pred = pred / np.linalg.norm(np.asarray(pred))
+        np.testing.assert_allclose(np.asarray(pred), want, rtol=1e-3,
+                                   atol=1e-6)
