@@ -180,3 +180,8 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # the remote-TPU (axon) client keeps non-daemon threads alive after the
+    # work is done; exit hard so callers with timeouts see a clean finish
+    os._exit(0)
