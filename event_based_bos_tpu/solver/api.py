@@ -46,7 +46,12 @@ def _bucket_capacity(n: int, minimum: int = 4096) -> int:
 def _generative_spec(orig_image_shape, solver_config, dtype) -> GenerativeSpec:
     g = solver_config.get("generative_ml", {})
     cw = solver_config.get("cost_with_weight", {"diff_norm": 1.0})
+    cd = solver_config.get("compute_dtype")
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                     None: None}.get(cd, None)
     return GenerativeSpec(
+        warp_stencil_radius=int(solver_config.get("warp_stencil_radius", 1)),
+        compute_dtype=compute_dtype,
         image_size=tuple(orig_image_shape),
         no_polarity=bool(g.get("no_polarity", False)),
         iwe_sigma=float(g.get("iwe_sigma", 0) or 0),
