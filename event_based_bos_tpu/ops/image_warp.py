@@ -125,6 +125,30 @@ def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
     return out
 
 
+def shift_image_matrix(image: jax.Array, shift: jax.Array) -> jax.Array:
+    """Global bilinear shift as two banded matmuls (MXU; traced shift).
+
+    ``out(x) = im(x − u)`` with zeros outside — identical to
+    :func:`warp_image_shift` but built from dense shift operators
+    ``M[i, j] = hat(j − i + u)`` (two nonzero diagonals), so it runs on the
+    MXU with a *traced* shift of any magnitude — the global-translation CMax
+    loop uses this instead of per-event warp + scatter.
+
+    Args:
+        image: ``[..., H, W]``.
+        shift: ``[2]`` (row, col), may be traced.
+    """
+    h, w = image.shape[-2:]
+    ii = jnp.arange(h, dtype=image.dtype)
+    mr = jnp.maximum(0.0, 1.0 - jnp.abs(ii[None, :] - ii[:, None] + shift[0]))
+    jj = jnp.arange(w, dtype=image.dtype)
+    mc = jnp.maximum(0.0, 1.0 - jnp.abs(jj[None, :] - jj[:, None] + shift[1]))
+    out = jnp.einsum("ij,...jk->...ik", mr, image,
+                     preferred_element_type=image.dtype)
+    return jnp.einsum("...ik,lk->...il", out, mc,
+                      preferred_element_type=image.dtype)
+
+
 def warp_image_shift(image: jax.Array, shift: jax.Array) -> jax.Array:
     """Warp by a global 2-vector translation (``frame_utils.py:92-115``)."""
     h, w = image.shape[-2:]

@@ -138,3 +138,28 @@ class TestDenseCmax:
         flow = solv.estimate(evn, None)
         assert flow.shape == (2, H, W)
         np.testing.assert_allclose(flow[:, 0, 0], [2.0, 2.0], atol=1.2)
+
+
+def test_shift_matrix_matches_warp():
+    from event_based_bos_tpu.ops.image_warp import (shift_image_matrix,
+                                                    warp_image_shift)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (20, 26)))
+    for shift in ([1.3, -2.7], [0.0, 0.0], [-7.5, 11.2]):
+        a = shift_image_matrix(img, jnp.asarray(shift))
+        b = warp_image_shift(img, jnp.asarray(shift))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_translation_binned_matches_exact():
+    evn = moving_edge_events(4.0, -6.0, seed=7)
+    ev = events_from_ndarray(evn)
+    exact = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                     n_iter=150, lr=0.5, time_bins=0)
+    binned = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                      n_iter=150, lr=0.5, time_bins=32)
+    m_e, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), exact)
+    m_b, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), binned)
+    np.testing.assert_allclose(np.asarray(m_b), [-4.0, 6.0], atol=1.0)
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_e), atol=1.0)
