@@ -240,6 +240,10 @@ class Visualizer:
                         ignore_polarity=False, file_prefix=None):
         """Signed event accumulation image (``visualizer.py:438-488``)."""
         ev = _to_numpy(events)
+        if len(ev) == 0:  # empty window → plain background frame
+            blank = np.full(self._image_size, background_color if grayscale
+                            else 255, np.uint8)
+            return self._show_or_save_image(blank, file_prefix)
         x = np.clip(ev[:, 0], 0, self._image_size[0] - 1).astype(np.int32)
         y = np.clip(ev[:, 1], 0, self._image_size[1] - 1).astype(np.int32)
         if grayscale:
