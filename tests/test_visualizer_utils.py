@@ -145,3 +145,12 @@ def test_vector_field_view(tmp_path):
     flow = np.random.default_rng(0).normal(size=(2, 24, 32))
     viz.visualize_vector_field(flow, step=8)
     assert (tmp_path / "vector_field0.png").exists()
+
+
+def test_visualize_event_empty_window(tmp_path):
+    """Empty event windows render a background frame instead of crashing."""
+    viz = Visualizer((24, 32), save=True, show=False, save_dir=str(tmp_path))
+    viz.visualize_event(np.zeros((0, 4)), file_prefix="empty")
+    assert (tmp_path / "empty0.png").exists()
+    viz.visualize_event(np.zeros((0, 4)), grayscale=False, file_prefix="emptyc")
+    assert (tmp_path / "emptyc0.png").exists()
