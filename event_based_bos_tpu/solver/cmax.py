@@ -38,7 +38,6 @@ from ..optim import (
 )
 from ..types import Events, PatchGrid
 from .generative import patch_to_dense
-from .pyramid import PyramidSpec  # noqa: F401  (same pyramid scheduling idea)
 
 __all__ = ["CmaxSpec", "contrast_loss", "solve_cmax_translation",
            "solve_cmax_dense", "estimate_frame_cmax"]
