@@ -125,11 +125,11 @@ def evaluate_per_frames(config, loader, solv, viz):
                     filtered, batch_time_scale = solv.preprocess(batch)
                 with timer.section("estimate"):
                     estimation = solv.estimate(filtered, gt_flow, frame=im1,
-                                               background=im0)
+                                               background=im0, frame_time=t1)
             else:
                 filtered, batch_time_scale = solv.preprocess(batch)
                 estimation = solv.estimate(filtered, gt_flow, frame=im1,
-                                           background=im0)
+                                           background=im0, frame_time=t1)
             scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
 
             solv.visualize_original_sequential(batch_for_gt, filtered)
@@ -239,7 +239,7 @@ def estimate_sequential(config, loader, solv, run_estimation: bool = False):
                     except (NotImplementedError, AssertionError, IndexError):
                         frame = None
                 estimation = solv.estimate(filtered, None, frame=frame,
-                                           background=frame)
+                                           background=frame, frame_time=t1)
                 solv.visualize_pred_sequential(filtered, estimation)
             i_frame += 1
 

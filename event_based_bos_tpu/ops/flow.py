@@ -23,6 +23,7 @@ __all__ = [
     "burgers_step",
     "propagate_flow_bilinear",
     "propagate_flow_max",
+    "propagate_flow_griddata",
     "construct_dense_flow_voxel",
     "calculate_flow_error",
     "estimate_corresponding_gt_flow",
@@ -217,6 +218,35 @@ def propagate_flow_max(flow_0: jax.Array, dt: float) -> jax.Array:
     return jnp.where(jnp.isfinite(out), out, 0.0).reshape(2, h, w)
 
 
+def propagate_flow_griddata(flow_0, dt: float, method: str = "nearest"):
+    """Scattered-data re-interpolation propagation (nearest/linear/cubic).
+
+    Parity: ``propagate_flow_to_voxel_numpy`` methods "nearest"/"linear"/
+    "cubic" (``flow_utils.py:327-341``): each source pixel is advected to
+    ``x + dt·flow`` and the flow is re-sampled on the regular grid with
+    ``scipy.interpolate.griddata``.  Host-side ground-truth tooling (numpy in,
+    numpy out, NOT jittable) — like the reference, "linear"/"cubic" leave NaN
+    outside the convex hull of the advected points.
+    """
+    import numpy as np
+    import scipy.interpolate
+
+    flow_0 = np.asarray(flow_0)
+    _, h, w = flow_0.shape
+    xx, yy = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    src = np.stack([
+        (flow_0[0] * dt + xx).ravel(),
+        (flow_0[1] * dt + yy).ravel(),
+    ], axis=-1)
+    dest = np.stack([xx.ravel(), yy.ravel()], axis=-1)
+    flat = flow_0.reshape(2, -1)
+    out = np.stack([
+        scipy.interpolate.griddata(src, flat[0], dest, method=method),
+        scipy.interpolate.griddata(src, flat[1], dest, method=method),
+    ])
+    return out.reshape(2, h, w)
+
+
 def construct_dense_flow_voxel(
     dense_flow: jax.Array,
     time_bin: int,
@@ -229,7 +259,9 @@ def construct_dense_flow_voxel(
     Parity: ``construct_dense_flow_voxel_numpy/torch``
     (``flow_utils.py:97-224``) with the bin loops as ``lax.scan``.
     Supported schemes: upwind / burgers (PDE), bilinear / max / same
-    (vote propagation), zero.
+    (vote propagation), zero, and the host-side griddata family
+    nearest / linear / cubic (``flow_utils.py:327-341``; these run on host
+    via scipy and are not jittable — GT tooling only).
     """
     if t0_location not in ("first", "middle"):
         raise NotImplementedError(f"t0_location = {t0_location} not supported")
@@ -271,6 +303,14 @@ def construct_dense_flow_voxel(
                 return dense_flow
             if scheme == "zero":
                 return jnp.zeros_like(dense_flow)
+            if scheme in ("nearest", "linear", "cubic"):
+                import numpy as np
+
+                host = np.stack([
+                    propagate_flow_griddata(f, dt, scheme)
+                    for f in np.asarray(dense_flow)
+                ])
+                return jnp.asarray(host, dense_flow.dtype)
             raise NotImplementedError(f"method = {scheme!r} is not supported.")
 
         voxel = jnp.stack([one(float(dt)) for dt in ts], axis=1)

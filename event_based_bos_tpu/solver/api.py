@@ -60,6 +60,7 @@ def _generative_spec(orig_image_shape, solver_config, dtype) -> GenerativeSpec:
         weight_by_inverse_event_hist=bool(
             g.get("weight_loss_by_inverse_event_hist", False)),
         optimize_warp=bool(g.get("optimize_warp", False)),
+        pxpy_as_anglemagn=bool(g.get("px-py_as-angle-magnitude", False)),
         angle_model=bool(g.get("angle_model", False)),
         poisson_model=bool(g.get("poisson_model", False)),
         use_log_intensity=bool(g.get("use_log_intensity", False)),
@@ -98,6 +99,7 @@ class SolverBase:
 
         self.dtype = (jnp.float64 if str(self.slv_config.get("precision", "32")) == "64"
                       else jnp.float32)
+        self._e2vid_loader = self._setup_e2vid_loader()
         self.flow_convention = self.slv_config.get("flow_convention", "reference")
         self.normalize_t_in_batch = True
         self.previous_frame_best_estimation = None
@@ -313,6 +315,29 @@ class SolverBase:
             self.visualizer.visualize_overlay_optical_flow_on_event(gt, clipped)
 
     # -- model image handling ---------------------------------------------------------
+    def _setup_e2vid_loader(self):
+        """Build the E2VID reconstruction loader for ``model_image: "e2vid"``.
+
+        The reference whitelists "e2vid" (``generative_max_likelihood.py:22``)
+        but never wires a frame source for it (its ``estimate`` only sets the
+        frame for current/black/background, ``gml:695-698`` /
+        ``patch_eklt_pyramid2.py:135-140`` — a latent crash).  Here the mode
+        works: configure ``solver.generative_ml.e2vid`` with the E2VID loader
+        keys (``root``/``dataset``/``sequence``) and the solver pulls the
+        reconstruction nearest the current frame time.
+        """
+        gml_cfg = self.slv_config.get("generative_ml", {})
+        if gml_cfg.get("model_image") != "e2vid" or "e2vid" not in gml_cfg:
+            return None
+        from ..data.e2vid import E2vidDataLoader
+
+        e2_cfg = dict(gml_cfg["e2vid"])
+        sequence = e2_cfg.pop("sequence", None)
+        loader = E2vidDataLoader(config=e2_cfg)
+        if sequence is not None:
+            loader.set_sequence(sequence)
+        return loader
+
     def _model_frame(self, kwargs) -> np.ndarray:
         mode = self.slv_config.get("generative_ml", {}).get("model_image", "current")
         if mode == "current":
@@ -323,6 +348,24 @@ class SolverBase:
             if getattr(self, "_background", None) is None:
                 self._background = np.asarray(kwargs["background"])
             return self._background
+        if mode == "e2vid":
+            # Explicit reconstruction wins; else look it up by frame time;
+            # else the main loader already *is* E2VID and ``frame`` is the
+            # reconstruction.
+            if kwargs.get("e2vid_frame") is not None:
+                return np.asarray(kwargs["e2vid_frame"])
+            if self._e2vid_loader is not None:
+                t = kwargs.get("frame_time")
+                index = (max(self._e2vid_loader.time_to_image_index(t), 0)
+                         if t is not None else self.iter_cnt)
+                image, _ts = self._e2vid_loader.load_image(index)
+                return np.asarray(image)
+            if kwargs.get("frame") is not None:
+                return np.asarray(kwargs["frame"])
+            raise ValueError(
+                "model_image 'e2vid' needs a generative_ml.e2vid loader "
+                "config, an e2vid_frame kwarg, or an E2VID data loader "
+                "supplying `frame`.")
         raise ValueError(f"Unknown model_image {mode!r}")
 
     def _orient_flow(self, flow: np.ndarray) -> np.ndarray:

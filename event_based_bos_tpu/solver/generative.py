@@ -89,6 +89,12 @@ class GenerativeSpec:
     angle_model: bool = False
     poisson_model: bool = True
     use_log_intensity: bool = False
+    # Interpret the two warp parameters as (p_magn, p_angle) instead of
+    # (p_x, p_y) — YAML key ``px-py_as-angle-magnitude``
+    # (``gml:130-135,144-161``).  The reference restricts this to the optuna
+    # sampler; here the unfold is differentiable so every scalar optimizer
+    # supports it.
+    pxpy_as_anglemagn: bool = False
     sobel_ksize: int = 3
     cost_weights: Tuple[Tuple[str, float], ...] = (
         ("diff_norm", 1.0),
@@ -393,9 +399,10 @@ def unfold_scalar_params(theta: jax.Array, spec: GenerativeSpec):
     """Scalar parameter vector → (v_x, v_y, p_x, p_y | None).
 
     Parity: ``gml.unfold_params`` (``gml:144-161``) — angle model maps
-    ``angle → (sin, cos)``; poisson model has no meaning for a single scalar
-    velocity and is treated as the plain (vx, vy) model in the whole-ROI
-    solver.
+    ``angle → (sin, cos)``; with ``pxpy_as_anglemagn`` the warp pair is
+    ``(p_magn, p_angle) → (magn·sin, magn·cos)`` (``gml:155-156,174-175``);
+    poisson model has no meaning for a single scalar velocity and is treated
+    as the plain (vx, vy) model in the whole-ROI solver.
     """
     if spec.angle_model:
         vx, vy = jnp.sin(theta[0]), jnp.cos(theta[0])
@@ -403,7 +410,13 @@ def unfold_scalar_params(theta: jax.Array, spec: GenerativeSpec):
     else:
         vx, vy = theta[0], theta[1]
         rest = theta[2:]
-    pxy = (rest[0], rest[1]) if spec.optimize_warp else None
+    if spec.optimize_warp:
+        if spec.pxpy_as_anglemagn:
+            pxy = (rest[0] * jnp.sin(rest[1]), rest[0] * jnp.cos(rest[1]))
+        else:
+            pxy = (rest[0], rest[1])
+    else:
+        pxy = None
     return vx, vy, pxy
 
 

@@ -14,6 +14,7 @@ from event_based_bos_tpu.ops.flow import (
     generate_dense_optical_flow,
     generate_uniform_optical_flow,
     propagate_flow_bilinear,
+    propagate_flow_griddata,
     truncate_voxel_flow,
     upwind_step,
 )
@@ -94,6 +95,22 @@ class TestFlowParityWithReference:
                                                             "bilinear")
         got = propagate_flow_bilinear(jnp.asarray(flow), 0.5)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    @pytest.mark.parametrize("method", ["nearest", "linear", "cubic"])
+    def test_propagate_griddata(self, ref_flow_utils, flow, method):
+        want = ref_flow_utils.propagate_flow_to_voxel_numpy(flow.copy(), 0.4,
+                                                            method)
+        got = propagate_flow_griddata(flow, 0.4, method)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+        # linear/cubic leave NaN outside the convex hull, like the reference
+        finite = np.isfinite(want)
+        assert np.isfinite(got)[finite].all()
+
+    def test_griddata_voxel_scheme(self, flow):
+        got = construct_dense_flow_voxel(jnp.asarray(flow), 3, "nearest",
+                                         "first")
+        assert got.shape == (3, 2, 12, 16)
+        np.testing.assert_allclose(np.asarray(got[0]), flow, atol=1e-6)
 
     @pytest.mark.parametrize("scheme", ["upwind", "burgers"])
     @pytest.mark.parametrize("t0", ["first", "middle"])

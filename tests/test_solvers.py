@@ -265,3 +265,61 @@ def test_restrict_to_roi_mode(scene):
     # agreement, not bitwise (measured ~0.84 on this scene)
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.75, corr
+
+
+def test_model_image_e2vid(scene, tmp_path):
+    """model_image "e2vid" pulls the reconstruction nearest the frame time.
+
+    The reference whitelists the token (``gml:22``) but never sets a frame
+    for it; here the mode is wired through the E2VID loader.
+    """
+    import cv2
+
+    I1, I2, events = scene
+    seq = tmp_path / "E2VID" / "seq0"
+    seq.mkdir(parents=True)
+    recon = (np.arange(H * W, dtype=np.uint8).reshape(H, W) % 251)
+    cv2.imwrite(str(seq / "frame_0000.png"), np.zeros((H, W), np.uint8))
+    cv2.imwrite(str(seq / "frame_0001.png"), recon)
+    np.savetxt(seq / "timestamps.txt", [0.0, 0.004])
+    with open(seq / "events.csv", "w") as f:
+        f.write("0,0,1,0.0\n0,0,1,0.008\n")
+
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["generative_ml"] = dict(
+        cfg["generative_ml"], model_image="e2vid",
+        e2vid={"root": str(tmp_path), "dataset": "E2VID", "sequence": "seq0",
+               "height": H, "width": W})
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    model = solv._model_frame({"frame": I1, "frame_time": 0.005})
+    np.testing.assert_array_equal(model, recon)
+    flow = solv.estimate(events, None, frame=I1, background=I2,
+                         frame_time=0.005)
+    assert np.isfinite(flow).all()
+
+    # without a loader config, an E2VID main loader's frame is used as-is
+    cfg2 = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg2["generative_ml"] = dict(cfg2["generative_ml"], model_image="e2vid")
+    solv2 = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg2, None)
+    np.testing.assert_array_equal(solv2._model_frame({"frame": I1}),
+                                  np.asarray(I1))
+
+
+def test_pxpy_as_anglemagn_unfold_and_solve(scene):
+    """(p_magn, p_angle) warp parameterization (``gml:130-135,144-161``)."""
+    from event_based_bos_tpu.solver.generative import unfold_scalar_params
+
+    spec = _gen(pxpy_as_anglemagn=True)
+    theta = jnp.asarray([0.5, -0.25, 2.0, 0.7])
+    vx, vy, pxy = unfold_scalar_params(theta, spec)
+    assert float(vx) == pytest.approx(0.5) and float(vy) == pytest.approx(-0.25)
+    assert float(pxy[0]) == pytest.approx(2.0 * np.sin(0.7), rel=1e-6)
+    assert float(pxy[1]) == pytest.approx(2.0 * np.cos(0.7), rel=1e-6)
+
+    I1, _, events = scene
+    ev = events_from_ndarray(events)
+    gml = GmlSpec(gen=spec, roi=(0, H, 0, W), method="Adam", n_iter=24)
+    flow, aux = jax.jit(
+        lambda e, f, k: estimate_frame_gml(e, f, k, spec=gml))(
+            ev, jnp.asarray(I1, jnp.float32), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(flow)).all()
