@@ -43,41 +43,84 @@ def background_activity_filter(
     num_support_event: int = 1,
     time_map: Optional[jax.Array] = None,
 ):
-    """Exact Background Activity Filter (Delbrück 2008 semantics).
+    """Exact Background Activity Filter (Delbrück 2008 semantics), vectorized.
 
-    For each event in stream order: write its timestamp into the per-pixel
-    time map, then keep it iff the ``(num_support+1)``-th most recent
-    timestamp in its ``(2k+1)²`` neighbourhood is within ``dt``
-    (parity: ``continuous_background_activity_filter``,
-    ``event_filters.py:46-97``).  Returns ``(filtered_events, time_map)``.
+    Bit-identical to the reference's sequential per-event loop
+    (``continuous_background_activity_filter``, ``event_filters.py:46-97``)
+    and to the native C++ runtime: zero-initialized per-pixel
+    latest-timestamp map, own timestamp written before the test,
+    edge-*truncated* ``(2k+1)²`` window, keep iff ``t − last < dt`` where
+    ``last`` is the ``(num_support+1)``-th most recent window timestamp.
+
+    Instead of a length-n sequential scan this runs as parallel work: the
+    map value an event would observe at any window pixel equals the running
+    per-pixel max of all *earlier* event timestamps — recovered by lex-sorting
+    writer records (each event at its own pixel) together with reader records
+    (one per window cell) on ``(pixel, stream index, writer<reader)`` and
+    taking a segmented prefix-max.  One O(m log m) sort over
+    ``m = (win²+1)·n`` records replaces the n-step dependency chain.
+
+    Returns ``(filtered_events, updated_time_map)``.
     """
     h, w = image_shape
-    if time_map is None:
-        time_map = jnp.zeros(image_shape, ev.t.dtype)
-    else:
-        time_map = time_map.astype(ev.t.dtype)
+    n = ev.x.shape[0]
     k = int(ksize)
     win = 2 * k + 1
+    tdtype = ev.t.dtype
+    neg = jnp.asarray(-jnp.inf, tdtype)
+    sentinel = h * w  # segment for invalid writers / out-of-bounds readers
 
-    def step(tmap, e):
-        x, y, t, valid = e
-        xi = jnp.clip(x.astype(jnp.int32), 0, h - 1)
-        yi = jnp.clip(y.astype(jnp.int32), 0, w - 1)
-        tmap = tmap.at[xi, yi].max(jnp.where(valid, t, -jnp.inf))
-        # gather the neighbourhood (edge-clamped window like the reference's
-        # min/max bounds; out-of-range cells duplicate edge values, which can
-        # only make the filter marginally more permissive at borders)
-        x0 = jnp.clip(xi - k, 0, h - win)
-        y0 = jnp.clip(yi - k, 0, w - win)
-        window = jax.lax.dynamic_slice(tmap, (x0, y0), (win, win)).reshape(-1)
-        sorted_w = jnp.sort(window)
-        last = sorted_w[-1 - num_support_event]
-        keep = (t - last) < dt
-        return tmap, keep & valid.astype(bool)
+    valid = ev.valid.astype(bool)
+    xi = jnp.clip(ev.x.astype(jnp.int32), 0, h - 1)
+    yi = jnp.clip(ev.y.astype(jnp.int32), 0, w - 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    es = jnp.stack([ev.x, ev.y, ev.t, ev.valid.astype(ev.t.dtype)], axis=-1)
-    time_map, keeps = jax.lax.scan(step, time_map, es)
-    return ev.mask_where(keeps), time_map
+    wr_pid = jnp.where(valid, xi * w + yi, sentinel)
+    wr_val = jnp.where(valid, ev.t, neg)
+
+    dx = jnp.repeat(jnp.arange(-k, k + 1, dtype=jnp.int32), win)
+    dy = jnp.tile(jnp.arange(-k, k + 1, dtype=jnp.int32), win)
+    rx = xi[None, :] + dx[:, None]
+    ry = yi[None, :] + dy[:, None]
+    inb = ((rx >= 0) & (rx < h) & (ry >= 0) & (ry < w)) & valid[None, :]
+    rd_pid = jnp.where(inb, rx * w + ry, sentinel)  # [win², n]
+
+    pid_all = jnp.concatenate([wr_pid, rd_pid.reshape(-1)])
+    idx_all = jnp.concatenate([idx, jnp.broadcast_to(idx, rd_pid.shape).reshape(-1)])
+    # at equal (pixel, index) the writer must precede its own-pixel reader
+    typ_all = jnp.concatenate([jnp.zeros(n, jnp.int32),
+                               jnp.ones(win * win * n, jnp.int32)])
+    val_all = jnp.concatenate([wr_val, jnp.full((win * win * n,), neg, tdtype)])
+
+    order = jnp.lexsort((typ_all, idx_all, pid_all))
+    pid_s = pid_all[order]
+    val_s = val_all[order]
+
+    def seg_max(a, b):
+        sa, va = a
+        sb, vb = b
+        return sb, jnp.where(sa == sb, jnp.maximum(va, vb), vb)
+
+    _, run = jax.lax.associative_scan(seg_max, (pid_s, val_s))
+    res_all = jnp.zeros_like(val_all).at[order].set(run)
+    reader_res = res_all[n:].reshape(win * win, n)
+
+    init_flat = (jnp.zeros((h * w,), tdtype) if time_map is None
+                 else time_map.reshape(-1).astype(tdtype))
+    init_gather = init_flat[jnp.clip(rd_pid, 0, h * w - 1)]
+    cellv = jnp.where(inb, jnp.maximum(reader_res, init_gather), neg)
+
+    svals = jnp.sort(cellv, axis=0)  # missing cells (-inf) sort first
+    m = jnp.maximum(inb.sum(axis=0), 1)
+    # clamp like the native runtime when num_support exceeds the (truncated)
+    # window size
+    eff = win * win - 1 - jnp.minimum(num_support_event, m - 1)
+    last = jnp.take_along_axis(svals, eff[None, :], axis=0)[0]
+    keep = ((ev.t - last) < dt) & valid
+
+    new_map = init_flat.at[wr_pid].max(jnp.where(valid, ev.t, neg),
+                                       mode="drop").reshape(h, w)
+    return ev.mask_where(keep), new_map
 
 
 def background_activity_filter_fast(
@@ -183,17 +226,22 @@ class EventFilter:
     automatically when an ROI is configured; BAF may keep a continuous time
     map across batches.
 
-    The ``exact_baf`` flag selects the sequential-parity scan (default the
-    fast binned kernel).
+    The device BAF defaults to the *exact* vectorized kernel (reference
+    semantics, bit-identical to the native C++ filter); the time-binned
+    approximation is opt-in for throughput via ``exact_baf=False`` or the
+    YAML parameter ``BAF_fast: true``.
     """
 
-    def __init__(self, image_shape, filter_config, exact_baf: bool = False):
+    def __init__(self, image_shape, filter_config,
+                 exact_baf: Optional[bool] = None):
         self.image_shape = tuple(image_shape)
         self.params = filter_config.get("parameters", {})
         self.filters = list(filter_config.get("filters") or [])
         if "xmin" in self.params:
             self.filters = ["CROP"] + self.filters
         self.continuous_update = bool(self.params.get("BAF_continuous_update"))
+        if exact_baf is None:
+            exact_baf = not bool(self.params.get("BAF_fast", False))
         self.exact_baf = exact_baf
         self.time_map = None
         self.np_time_map = None
