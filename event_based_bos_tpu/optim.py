@@ -89,6 +89,7 @@ def run_first_order(
     lr_step: Optional[int] = None,
     track_best: bool = True,
     has_aux: bool = False,
+    bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> OptResult:
     """Run a first-order optimizer for ``n_iter`` steps inside ``lax.scan``.
 
@@ -96,7 +97,8 @@ def run_first_order(
     (reference behavior), plus the full loss history.  With ``has_aux`` the
     objective returns ``(loss, aux)`` and the stacked aux pytree is returned
     as ``aux_history`` (per-term cost history parity with
-    ``CostBase.register_history``).
+    ``CostBase.register_history``).  ``bounds = (lo, hi)`` projects every
+    iterate onto the box (projected gradient step).
     """
     lr_step = n_iter if lr_step is None else lr_step
     opt = make_optimizer(method, lr, lr_step, lr_decay)
@@ -115,6 +117,8 @@ def run_first_order(
         best_loss = jnp.minimum(loss, best_loss)
         updates, opt_state = opt.update(grad, opt_state, x)
         x = optax.apply_updates(x, updates)
+        if bounds is not None:
+            x = jnp.clip(x, bounds[0], bounds[1])
         return (x, opt_state, best_x, best_loss, best_it, it + 1), (loss, aux)
 
     init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, x0.dtype),
@@ -131,31 +135,44 @@ def run_lbfgs(
     x0: jax.Array,
     n_iter: int = 100,
     memory_size: int = 10,
+    bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> OptResult:
     """L-BFGS with zoom linesearch — the on-device replacement for the
     reference's scipy BFGS family routed through torch autograd
-    (``src/solver/scipy_autograd/scipy_minimize.py:88-126``)."""
+    (``src/solver/scipy_autograd/scipy_minimize.py:88-126``).
+
+    ``bounds = (lo, hi)`` projects every iterate onto the box (the
+    projected-L-BFGS treatment scipy's L-BFGS-B bounds map to on device).
+    """
     opt = optax.lbfgs(memory_size=memory_size)
     vg = jax.value_and_grad(objective)
 
-    def step(carry, _):
-        x, opt_state, best_x, best_loss = carry
+    def step(carry, it):
+        x, opt_state, best_x, best_loss, best_it = carry
         loss, grad = vg(x)
         better = loss < best_loss
         best_x = jnp.where(better, x, best_x)
+        best_it = jnp.where(better, it, best_it)
         best_loss = jnp.minimum(loss, best_loss)
         updates, opt_state = opt.update(
             grad, opt_state, x, value=loss, grad=grad, value_fn=objective)
         x = optax.apply_updates(x, updates)
-        return (x, opt_state, best_x, best_loss), loss
+        if bounds is not None:
+            x = jnp.clip(x, bounds[0], bounds[1])
+        return (x, opt_state, best_x, best_loss, best_it), loss
 
-    init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, x0.dtype))
-    (x, _, best_x, best_loss), history = jax.lax.scan(step, init, None, length=n_iter)
+    init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, x0.dtype),
+            jnp.asarray(0, jnp.int32))
+    (x, _, best_x, best_loss, best_it), history = jax.lax.scan(
+        step, init, jnp.arange(n_iter, dtype=jnp.int32))
     final_loss = objective(x)
     use_final = final_loss < best_loss
     return OptResult(param=jnp.where(use_final, x, best_x),
                      loss=jnp.minimum(final_loss, best_loss),
-                     best_iter=jnp.asarray(0), history=history, last_param=x)
+                     best_iter=jnp.where(use_final,
+                                         jnp.asarray(n_iter, jnp.int32),
+                                         best_it),
+                     history=history, last_param=x)
 
 
 def run_sampler(

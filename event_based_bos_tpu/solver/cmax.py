@@ -76,7 +76,14 @@ class CmaxSpec:
     # per-event path costs ~60 ms/iteration at 0.5 M events on TPU v5e;
     # the binned path runs at generative-loop speed).  0 = exact per-event.
     time_bins: int = 16
-    # stencil radius for the binned warp: must cover max |dt·flow| per bin
+    # Stencil radius for the binned warp.  Accuracy envelope: the binned IWE
+    # matches the exact per-event warp while every per-bin shift satisfies
+    # |dt·flow| ≤ warp_radius — for direction "middle" (|dt| ≤ 0.5) that is
+    # |flow| ≤ 2·warp_radius px/window; beyond it shifts truncate to the
+    # stencil support and contrast degrades
+    # (tests/test_cmax.py::test_binned_accuracy_envelope_vs_warp_radius).
+    # Timestamp quantization to bin centers adds O(|flow|/time_bins) px
+    # blur, negligible at the default 16 bins for BOS-scale flows.
     warp_radius: int = 2
     # fuse the binned warp-accumulate into the custom Pallas kernel
     # (ops.cmax_pallas) — reads each histogram tile once per iteration
@@ -142,18 +149,21 @@ def solve_cmax_translation(ev: Events, key: jax.Array, spec: CmaxSpec,
             warped = warp_event_2dof(ev, theta, ref_time, normalize_t=True)
             return contrast_loss(_roi_iwe(warped, spec), spec)
 
+    lo = jnp.array([b[0] for b in spec.param_bounds], spec.dtype)
+    hi = jnp.array([b[1] for b in spec.param_bounds], spec.dtype)
     if spec.method in SAMPLER_METHODS:
-        lo = jnp.array([b[0] for b in spec.param_bounds], spec.dtype)
-        hi = jnp.array([b[1] for b in spec.param_bounds], spec.dtype)
         result = run_sampler(objective, (lo, hi), spec.n_iter, spec.method, key)
         return result.param, result
     if x0 is None:
         x0 = jnp.zeros((2,), spec.dtype)
+    # param_bounds are honored on every path: samplers draw inside the box,
+    # the quasi-Newton and first-order loops project each iterate onto it.
     if spec.method in QUASI_NEWTON_METHODS:
-        result = run_lbfgs(objective, x0, spec.n_iter)
+        result = run_lbfgs(objective, x0, spec.n_iter, bounds=(lo, hi))
     else:
         result = run_first_order(objective, x0, spec.n_iter, spec.method,
-                                 lr=spec.lr, lr_decay=spec.lr_decay)
+                                 lr=spec.lr, lr_decay=spec.lr_decay,
+                                 bounds=(lo, hi))
     return result.param, result
 
 

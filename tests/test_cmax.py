@@ -163,3 +163,61 @@ def test_translation_binned_matches_exact():
     m_b, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), binned)
     np.testing.assert_allclose(np.asarray(m_b), [-4.0, 6.0], atol=1.0)
     np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_e), atol=1.0)
+
+
+def test_param_bounds_respected_all_paths():
+    """param_bounds clip the quasi-Newton and first-order iterates (the true
+    optimum here lies outside the box)."""
+    evn = moving_edge_events(6.0, -6.0, seed=8)
+    ev = events_from_ndarray(evn)
+    box = ((-2.0, 2.0), (-2.0, 2.0))
+    for method in ("Adam", "BFGS"):
+        spec = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                        n_iter=80, lr=0.5, method=method, param_bounds=box)
+        m, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec)
+        m = np.asarray(m)
+        assert (m >= -2.0 - 1e-6).all() and (m <= 2.0 + 1e-6).all(), (method, m)
+
+
+def test_lbfgs_reports_real_best_iter():
+    from event_based_bos_tpu.optim import run_lbfgs
+
+    obj = lambda x: jnp.sum((x - 3.0) ** 2)
+    res = run_lbfgs(obj, jnp.zeros((2,)), n_iter=25)
+    # converged run: the best iterate is late, not the hardcoded 0
+    assert int(res.best_iter) > 0
+    np.testing.assert_allclose(np.asarray(res.param), 3.0, atol=1e-3)
+    assert float(res.history[int(min(res.best_iter, 24))]) <= float(res.history[0])
+
+
+def test_binned_accuracy_envelope_vs_warp_radius():
+    """Accuracy envelope of the binned objective: the stencil warp is exact
+    while the per-bin shift |dt·flow| stays within warp_radius — for
+    direction "middle" that is |flow| <= 2*warp_radius.  Beyond it the
+    binned IWE degrades (shifts are truncated to the stencil support)."""
+    from event_based_bos_tpu.ops.iwe import gaussian_blur
+    from event_based_bos_tpu.ops.warp import (calculate_reftime,
+                                              warp_event_dense_flow)
+    from event_based_bos_tpu.solver.cmax import binned_histograms, binned_iwe
+
+    spec = CmaxSpec(image_size=(H, W), time_bins=64, warp_radius=2,
+                    iwe_sigma=1.0)
+
+    def corr_at(v):
+        evn = moving_edge_events(v, 0.0, n=8000, seed=9)
+        ev = events_from_ndarray(evn)
+        hists, dts = binned_histograms(ev, spec)
+        flow = jnp.broadcast_to(jnp.array([v, 0.0])[:, None, None], (2, H, W))
+        iwe_b = binned_iwe(hists, dts, flow, spec)
+        ref_time = calculate_reftime(ev, "middle")
+        warped = warp_event_dense_flow(ev, flow, ref_time, normalize_t=True)
+        iwe_e = gaussian_blur(bilinear_vote(warped, (H, W)), 1.0,
+                              mode="reflect")
+        return np.corrcoef(np.asarray(iwe_b).ravel(),
+                           np.asarray(iwe_e).ravel())[0, 1]
+
+    inside_small, inside_edge = corr_at(1.0), corr_at(3.5)   # |flow| < 2r=4
+    outside = corr_at(8.0)                                   # shift 4 > r=2
+    assert inside_small > 0.95, inside_small
+    assert inside_edge > 0.95, inside_edge
+    assert outside < inside_edge, (outside, inside_edge)
