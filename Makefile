@@ -13,6 +13,12 @@ test: native
 
 lint:
 	python -m compileall -q event_based_bos_tpu bench.py __graft_entry__.py
+	@if python -c "import mypy" >/dev/null 2>&1; then \
+		python -m mypy event_based_bos_tpu; \
+	else \
+		echo "mypy not installed; running in-repo static lint"; \
+		python tools/lint.py; \
+	fi
 
 fmt:
 	@command -v black >/dev/null 2>&1 && black event_based_bos_tpu tests bench.py __graft_entry__.py || echo "black not installed; skipping"

@@ -5,12 +5,13 @@ reference BAF walks events one-by-one in Python updating a per-pixel
 latest-timestamp map (``event_filters.py:46-97``) — inherently sequential.
 Here three implementations are offered:
 
-  * :func:`background_activity_filter` — exact sequential semantics as a
-    ``lax.scan`` (small batches / validation).
-  * :func:`background_activity_filter_fast` — vectorized time-binned
-    approximation that runs at full TPU throughput (support counted from
-    events within the last ``dt``-to-``2dt``; equal to the exact filter for
-    the vast majority of events).
+  * :func:`background_activity_filter` — exact sequential semantics,
+    vectorized (sort + segmented prefix-max, no per-event dependency chain);
+    bit-identical to the reference loop and the native runtime.  The device
+    default.
+  * :func:`background_activity_filter_fast` — time-binned approximation
+    (support counted from events within the last ``dt``-to-``2dt``); opt-in
+    via ``BAF_fast: true`` for maximum throughput.
   * the native C++ runtime (``event_based_bos_tpu.runtime``) provides the
     exact filter at host-memory speed for the data-loading path.
 """
@@ -250,8 +251,6 @@ class EventFilter:
         """Host-side pipeline over a raw ``(n, 4)`` array using the native
         C++ runtime (exact BAF/HOT at memory speed) — preferred before the
         device upload.  Returns the filtered ndarray."""
-        import numpy as np
-
         from .. import runtime
 
         for name in self.filters:

@@ -14,7 +14,6 @@ coordinate, ``y`` is the column / width coordinate
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple, Union
 
 import jax

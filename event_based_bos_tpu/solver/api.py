@@ -485,18 +485,20 @@ class PatchEkltPyramid2(SolverBase):
         self._jitted = {}
         self._last_aux = None
 
-    def _solver_fn(self, capacity: int, warm: bool):
-        key = (capacity, warm)
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(
+    def _solver_fn(self, capacity: int):
+        # one jitted callable per capacity bucket; jax.jit itself re-traces
+        # (and caches) per input structure, so the cold/warm-start variants
+        # (prev_params None vs array) share the entry
+        if capacity not in self._jitted:
+            self._jitted[capacity] = jax.jit(
                 functools.partial(estimate_frame, spec=self.spec))
-        return self._jitted[key]
+        return self._jitted[capacity]
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:
         ev = self._to_events(events)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
         prev = self.previous_frame_best_estimation
-        fn = self._solver_fn(ev.capacity, prev is not None)
+        fn = self._solver_fn(ev.capacity)
         flow, aux = fn(ev, frame, self._mask, self._next_key(),
                        prev_params=prev)
         self._last_aux = aux

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from .. import costs as costs_mod
 from ..ops.gradients import poisson_to_flow
 from ..ops.image_warp import (
-    resize_bilinear,
     warp_image_forward,
     warp_image_shift,
     warp_image_stencil,

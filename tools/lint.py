@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""In-repo static lint: undefined names, unused imports, __all__ integrity.
+
+The reference's ``make lint`` runs mypy (``Makefile:1-7``); this image ships
+no type checker or linter, so ``make lint`` uses mypy when installed and
+falls back to this checker.  It targets exactly the defect class the
+reference shipped (calls to never-defined functions such as
+``consecutive_openpiv`` / ``ImageGradient.calculate_numpy`` — SURVEY §2
+dead/latent list): every Name load must resolve to a builtin, an import, or
+an assignment in an enclosing scope.
+
+Scope model: module / class / function / comprehension scopes with Python's
+actual rules (class scopes are not visible to nested functions; comprehension
+targets are local; ``global``/``nonlocal`` honored; wildcard imports make a
+module permissive).  Attribute chains are not resolved — only bare names.
+"""
+
+from __future__ import annotations
+
+import ast
+import builtins
+import sys
+from pathlib import Path
+
+IMPLICIT = {
+    "__name__", "__file__", "__doc__", "__package__", "__spec__",
+    "__loader__", "__builtins__", "__debug__", "__path__", "__all__",
+    "__class__",  # zero-arg super() cell
+}
+
+
+def _target_names(node):
+    """Names bound by an assignment target / for-target / with-target."""
+    out = []
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name) and isinstance(n.ctx, (ast.Store, ast.Del)):
+            out.append(n.id)
+    return out
+
+
+class Scope:
+    def __init__(self, kind, parent=None):
+        self.kind = kind  # "module" | "class" | "function" | "comp"
+        self.parent = parent
+        self.names: set[str] = set()
+        self.globals: set[str] = set()
+        self.nonlocals: set[str] = set()
+
+    def defines(self, name):
+        self.names.add(name)
+
+    def resolve(self, name):
+        # class scopes are skipped for lookups from nested function scopes
+        scope = self
+        first = True
+        while scope is not None:
+            if (first or scope.kind != "class") and name in scope.names:
+                return True
+            first = False
+            scope = scope.parent
+        return False
+
+
+class Checker(ast.NodeVisitor):
+    def __init__(self, path):
+        self.path = path
+        self.scope = Scope("module")
+        self.problems: list[str] = []
+        self.imports: dict[str, ast.AST] = {}
+        self.used_names: set[str] = set()
+        self.wildcard = False
+
+    # -- scope helpers -------------------------------------------------------
+    def _push(self, kind):
+        self.scope = Scope(kind, self.scope)
+
+    def _pop(self):
+        self.scope = self.scope.parent
+
+    def _bind(self, name):
+        if name in self.scope.globals or name in self.scope.nonlocals:
+            s = self.scope.parent
+            while s is not None and s.kind != "module":
+                s = s.parent
+            (s or self.scope).defines(name)
+        else:
+            self.scope.defines(name)
+
+    # -- definitions ---------------------------------------------------------
+    def visit_Import(self, node):
+        for a in node.names:
+            name = a.asname or a.name.split(".")[0]
+            self._bind(name)
+            self.imports.setdefault(name, node)
+
+    def visit_ImportFrom(self, node):
+        for a in node.names:
+            if a.name == "*":
+                self.wildcard = True
+                continue
+            name = a.asname or a.name
+            self._bind(name)
+            if node.module != "__future__":
+                self.imports.setdefault(name, node)
+
+    def _visit_func(self, node):
+        self._bind(node.name)
+        for d in node.decorator_list:
+            self.visit(d)
+        for default in list(node.args.defaults) + [
+                d for d in node.args.kw_defaults if d is not None]:
+            self.visit(default)
+        self._push("function")
+        args = node.args
+        for a in (args.posonlyargs + args.args + args.kwonlyargs
+                  + ([args.vararg] if args.vararg else [])
+                  + ([args.kwarg] if args.kwarg else [])):
+            self.scope.defines(a.arg)
+            if a.annotation is not None:
+                self.visit(a.annotation)
+        if node.returns is not None:
+            self.visit(node.returns)
+        # pre-scan local bindings (function-wide, not statement order)
+        for n in ast.walk(node):
+            if n is node:
+                continue
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self.scope.defines(n.name)
+            elif isinstance(n, ast.Name) and isinstance(n.ctx, ast.Store):
+                self.scope.defines(n.id)
+            elif isinstance(n, (ast.Global, ast.Nonlocal)):
+                for nm in n.names:
+                    self.scope.defines(nm)
+            elif isinstance(n, ast.ExceptHandler) and n.name:
+                self.scope.defines(n.name)
+            elif isinstance(n, (ast.Import, ast.ImportFrom)):
+                for a in n.names:
+                    if a.name != "*":
+                        self.scope.defines(a.asname or a.name.split(".")[0])
+        for stmt in node.body:
+            self.visit(stmt)
+        self._pop()
+
+    visit_FunctionDef = _visit_func
+    visit_AsyncFunctionDef = _visit_func
+
+    def visit_Lambda(self, node):
+        for default in list(node.args.defaults) + [
+                d for d in node.args.kw_defaults if d is not None]:
+            self.visit(default)
+        self._push("function")
+        args = node.args
+        for a in (args.posonlyargs + args.args + args.kwonlyargs
+                  + ([args.vararg] if args.vararg else [])
+                  + ([args.kwarg] if args.kwarg else [])):
+            self.scope.defines(a.arg)
+        self.visit(node.body)
+        self._pop()
+
+    def visit_ClassDef(self, node):
+        self._bind(node.name)
+        for d in node.decorator_list + node.bases + [k.value for k in node.keywords]:
+            self.visit(d)
+        self._push("class")
+        for stmt in node.body:
+            self.visit(stmt)
+        self._pop()
+
+    def _visit_comp(self, node):
+        # first iterable evaluates in the enclosing scope
+        self.visit(node.generators[0].iter)
+        self._push("comp")
+        for gen in node.generators:
+            for nm in _target_names(gen.target):
+                self.scope.defines(nm)
+        for i, gen in enumerate(node.generators):
+            if i > 0:
+                self.visit(gen.iter)
+            for cond in gen.ifs:
+                self.visit(cond)
+        if isinstance(node, ast.DictComp):
+            self.visit(node.key)
+            self.visit(node.value)
+        else:
+            self.visit(node.elt)
+        self._pop()
+
+    visit_ListComp = _visit_comp
+    visit_SetComp = _visit_comp
+    visit_DictComp = _visit_comp
+    visit_GeneratorExp = _visit_comp
+
+    def visit_Global(self, node):
+        self.scope.globals.update(node.names)
+
+    def visit_Nonlocal(self, node):
+        self.scope.nonlocals.update(node.names)
+
+    def visit_ExceptHandler(self, node):
+        if node.type is not None:
+            self.visit(node.type)
+        if node.name:
+            self._bind(node.name)
+        for stmt in node.body:
+            self.visit(stmt)
+
+    def visit_Name(self, node):
+        if isinstance(node.ctx, (ast.Store, ast.Del)):
+            self._bind(node.id)
+            return
+        self.used_names.add(node.id)
+        if self.wildcard:
+            return
+        if (node.id in IMPLICIT or hasattr(builtins, node.id)
+                or self.scope.resolve(node.id)):
+            return
+        self.problems.append(
+            f"{self.path}:{node.lineno}: undefined name '{node.id}'")
+
+    def visit_Module(self, node):
+        # module scope: pre-scan like functions (late definitions are fine)
+        for n in ast.walk(node):
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self.scope.defines(n.name)
+            elif isinstance(n, ast.Name) and isinstance(n.ctx, ast.Store):
+                self.scope.defines(n.id)
+            elif isinstance(n, ast.ExceptHandler) and n.name:
+                self.scope.defines(n.name)
+            elif isinstance(n, (ast.Import, ast.ImportFrom)):
+                for a in n.names:
+                    if a.name != "*":
+                        self.scope.defines(a.asname or a.name.split(".")[0])
+        self.generic_visit(node)
+
+    def check_all_exports(self, tree):
+        for n in ast.walk(tree):
+            if (isinstance(n, ast.Assign) and len(n.targets) == 1
+                    and isinstance(n.targets[0], ast.Name)
+                    and n.targets[0].id == "__all__"
+                    and isinstance(n.value, (ast.List, ast.Tuple))):
+                for elt in n.value.elts:
+                    if (isinstance(elt, ast.Constant)
+                            and isinstance(elt.value, str)
+                            and not self.wildcard
+                            and elt.value not in self.scope.names):
+                        self.problems.append(
+                            f"{self.path}:{elt.lineno}: __all__ exports "
+                            f"undefined name '{elt.value}'")
+
+    noqa_lines: set = frozenset()
+
+    def check_unused_imports(self):
+        if Path(self.path).name == "__init__.py":
+            return  # package re-export convention
+        for name, node in self.imports.items():
+            if name.startswith("_") or node.lineno in self.noqa_lines:
+                continue
+            if name not in self.used_names and name not in self._dunder_all():
+                self.problems.append(
+                    f"{self.path}:{node.lineno}: unused import '{name}'")
+
+    _all_cache = None
+
+    def _dunder_all(self):
+        if self._all_cache is None:
+            self._all_cache = set()
+            # filled by check_all_exports caller via exported_names
+        return self._all_cache
+
+
+def lint_file(path: Path) -> list[str]:
+    src = path.read_text()
+    try:
+        tree = ast.parse(src, filename=str(path))
+    except SyntaxError as e:
+        return [f"{path}:{e.lineno}: syntax error: {e.msg}"]
+    noqa_lines = {i + 1 for i, line in enumerate(src.splitlines())
+                  if "# noqa" in line}
+    c = Checker(path)
+    c.noqa_lines = noqa_lines
+    c.visit(tree)
+    exported = set()
+    for n in ast.walk(tree):
+        if (isinstance(n, ast.Assign) and len(n.targets) == 1
+                and isinstance(n.targets[0], ast.Name)
+                and n.targets[0].id == "__all__"
+                and isinstance(n.value, (ast.List, ast.Tuple))):
+            exported |= {e.value for e in n.value.elts
+                         if isinstance(e, ast.Constant)}
+    c._all_cache = exported
+    c.check_all_exports(tree)
+    c.check_unused_imports()
+    return c.problems
+
+
+def main(argv):
+    roots = argv[1:] or ["event_based_bos_tpu", "bench.py", "__graft_entry__.py"]
+    files = []
+    for r in roots:
+        p = Path(r)
+        files += sorted(p.rglob("*.py")) if p.is_dir() else [p]
+    problems = []
+    for f in files:
+        problems += lint_file(f)
+    for p in problems:
+        print(p)
+    print(f"lint: {len(files)} files, {len(problems)} problems")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
