@@ -40,16 +40,27 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def make_workload(seed=0):
-    rng = np.random.default_rng(seed)
+    """Synthetic-BOS frame window at hot_plate1 scale, with ground truth.
+
+    A simulated Schlieren recording (textured background + smooth plume
+    displacement emitting events via the linearized generative model) —
+    realistic event statistics instead of uniform noise, and a known dense
+    flow so the bench reports an accuracy number alongside speed.
+    """
+    from event_based_bos_tpu.data.synthetic import (SyntheticBosConfig,
+                                                    generate_sequence)
+
     n = CAPACITY - 1024  # just below capacity: realistic padding
-    events = np.stack([
-        rng.uniform(0, H - 1, n),
-        rng.uniform(ROI[2], ROI[3] - 1, n),
-        np.sort(rng.uniform(10.0, 10.008, n)),
-        rng.integers(0, 2, n) * 2.0 - 1.0,
-    ], axis=1)
-    frame = rng.uniform(0, 255, (H, W))
-    return events, frame
+    # fast plume → |gt| up to ~1.6 px per window: strong enough that a broken
+    # solver cannot beat the zero-flow EPE (~0.46 px; healthy solve ~0.30)
+    cfg = SyntheticBosConfig(height=H, width=W, duration=1.0 / 30.0,
+                             fps=30.0, events_per_frame=n,
+                             max_displacement=3.0, plume_speed=900.0,
+                             seed=seed)
+    seq = generate_sequence(cfg)
+    events = seq["events"]
+    events[:, 2] += 10.0  # hot_plate1-like absolute timestamps
+    return events, seq["frames"][1], seq["gt_flow"][0]
 
 
 def measure_tpu(events, frame, repeats=5):
@@ -161,20 +172,35 @@ def measure_reference_baseline(events, frame):
         return None
 
 
+def accuracy_epe(flow, gt_flow):
+    """EPE of the solved flow vs the simulator's true pattern displacement.
+
+    The solver returns the reference convention (= −displacement in
+    (row, col), see docs/conventions.md), so the comparison negates it.
+    Evaluated over the ROI like ``calculate_flow_error`` without mask.
+    """
+    pred = -np.asarray(flow)[:, ROI[0]:ROI[1], ROI[2]:ROI[3]]
+    gt = np.asarray(gt_flow)[:, ROI[0]:ROI[1], ROI[2]:ROI[3]]
+    return float(np.mean(np.linalg.norm(pred - gt, axis=0)))
+
+
 def main():
-    events, frame = make_workload()
+    events, frame, gt_flow = make_workload()
     tpu_s, flow = measure_tpu(events, frame)
+    epe = accuracy_epe(flow, gt_flow)
     ev_rate = measure_iwe_throughput(events)
     baseline_s = measure_reference_baseline(events, frame)
     vs = (baseline_s / tpu_s) if baseline_s else None
     print(f"IWE kernel: {ev_rate/1e6:.1f} Mev/s; per-frame {tpu_s*1e3:.1f} ms; "
-          f"reference baseline {baseline_s if baseline_s else float('nan'):.1f} s",
+          f"EPE vs synthetic GT {epe:.3f} px; reference baseline "
+          f"{baseline_s if baseline_s else float('nan'):.1f} s",
           file=sys.stderr)
     print(json.dumps({
         "metric": "hot_plate1-scale per-frame pyramid flow solve (720x1280, 600 iters)",
         "value": round(tpu_s * 1e3, 2),
         "unit": "ms/frame",
         "vs_baseline": round(vs, 1) if vs else None,
+        "epe_vs_synthetic_gt_px": round(epe, 4),
     }))
 
 

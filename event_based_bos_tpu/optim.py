@@ -90,6 +90,7 @@ def run_first_order(
     track_best: bool = True,
     has_aux: bool = False,
     bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
+    record_params: bool = False,
 ) -> OptResult:
     """Run a first-order optimizer for ``n_iter`` steps inside ``lax.scan``.
 
@@ -98,7 +99,9 @@ def run_first_order(
     objective returns ``(loss, aux)`` and the stacked aux pytree is returned
     as ``aux_history`` (per-term cost history parity with
     ``CostBase.register_history``).  ``bounds = (lo, hi)`` projects every
-    iterate onto the box (projected gradient step).
+    iterate onto the box (projected gradient step).  ``record_params``
+    additionally returns the full iterate trajectory as ``params_history``
+    (DEBUG optimization-evolution videos, the ``LossVideosMaker`` analogue).
     """
     lr_step = n_iter if lr_step is None else lr_step
     opt = make_optimizer(method, lr, lr_step, lr_decay)
@@ -116,18 +119,24 @@ def run_first_order(
         best_it = jnp.where(better, it, best_it)
         best_loss = jnp.minimum(loss, best_loss)
         updates, opt_state = opt.update(grad, opt_state, x)
-        x = optax.apply_updates(x, updates)
+        x_new = optax.apply_updates(x, updates)
         if bounds is not None:
-            x = jnp.clip(x, bounds[0], bounds[1])
-        return (x, opt_state, best_x, best_loss, best_it, it + 1), (loss, aux)
+            x_new = jnp.clip(x_new, bounds[0], bounds[1])
+        out = (loss, aux, x) if record_params else (loss, aux)
+        return (x_new, opt_state, best_x, best_loss, best_it, it + 1), out
 
     init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, x0.dtype),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    (x, _, best_x, best_loss, best_it, _), (history, aux_history) = jax.lax.scan(
+    (x, _, best_x, best_loss, best_it, _), outs = jax.lax.scan(
         step, init, None, length=n_iter)
+    if record_params:
+        history, aux_history, params_history = outs
+    else:
+        (history, aux_history), params_history = outs, None
     param = best_x if track_best else x
     return OptResult(param=param, loss=best_loss, best_iter=best_it,
-                     history=history, aux_history=aux_history, last_param=x)
+                     history=history, aux_history=aux_history, last_param=x,
+                     params_history=params_history)
 
 
 def run_lbfgs(

@@ -43,6 +43,21 @@ def _bucket_capacity(n: int, minimum: int = 4096) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
 
 
+def _evolution_stride(solver_config, n_iter: int) -> int:
+    """Iterate-recording stride for DEBUG evolution videos.
+
+    Like the reference's ``LossVideosMaker`` (active only when the logger is
+    DEBUG-enabled, ``gml:50-58``), recording turns on at DEBUG level — or
+    explicitly via the ``record_evolution`` config key (0 = off, n = every
+    n-th iterate).  The default stride caps the video at ~120 frames.
+    """
+    if "record_evolution" in (solver_config or {}):
+        return int(solver_config["record_evolution"])
+    if logger.isEnabledFor(logging.DEBUG):
+        return max(1, n_iter // 120)
+    return 0
+
+
 def _generative_spec(orig_image_shape, solver_config, dtype) -> GenerativeSpec:
     g = solver_config.get("generative_ml", {})
     cw = solver_config.get("cost_with_weight", {"diff_norm": 1.0})
@@ -394,6 +409,8 @@ class GenerativeMaximumLikelihood(SolverBase):
             if opt.get("method") == "optuna" else opt.get("method", "Adam"),
             n_iter=int(opt.get("n_iter", 600)),
             param_bounds=bounds,
+            record_evolution=_evolution_stride(self.slv_config,
+                                               int(opt.get("n_iter", 600))),
         )
         self._jitted = {}
 
@@ -410,6 +427,11 @@ class GenerativeMaximumLikelihood(SolverBase):
         if self.visualizer is not None:
             self.visualizer.visualize_scipy_history(
                 {"loss": np.asarray(aux["history"])})
+            if "theta_history" in aux:
+                from .evolution import render_gml_evolution
+
+                render_gml_evolution(self.visualizer, frame, ev, aux,
+                                     self.spec, self.iter_cnt)
         self.iter_cnt += 1
         return self._orient_flow(np.asarray(flow))
 
@@ -480,6 +502,8 @@ class PatchEkltPyramid2(SolverBase):
             lr_decay=float(opt.get("lr_decay", 0.1)),
             track_best=bool(self.slv_config.get("track_best", True)),
             restrict_to_roi=bool(self.slv_config.get("restrict_to_roi", False)),
+            record_evolution=_evolution_stride(self.slv_config,
+                                               int(opt.get("n_iter", 600))),
         )
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}
@@ -514,6 +538,11 @@ class PatchEkltPyramid2(SolverBase):
             hist = {f"scale{i}": np.asarray(h)
                     for i, h in enumerate(aux["loss_history"])}
             self.visualizer.visualize_scipy_history(hist)
+            if "params_history" in aux:
+                from .evolution import render_pyramid_evolution
+
+                render_pyramid_evolution(self.visualizer, frame, ev, aux,
+                                         self.spec, self.iter_cnt)
         self.iter_cnt += 1
         return self._orient_flow(np.asarray(flow))
 

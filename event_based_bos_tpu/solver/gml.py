@@ -52,6 +52,9 @@ class GmlSpec:
     # box bounds per parameter for sampler methods (``hot_plate1.yaml:69-79``)
     param_bounds: Tuple[Tuple[float, float], ...] = ()
     track_best: bool = True
+    # > 0: record every k-th iterate for DEBUG evolution videos
+    # (first-order methods only; see solver.evolution)
+    record_evolution: int = 0
 
 
 def initialize_theta(key: jax.Array, spec: GmlSpec) -> jax.Array:
@@ -102,7 +105,8 @@ def solve_gml(
     if spec.method in FIRST_ORDER_METHODS:
         result = run_first_order(objective, x0, spec.n_iter, spec.method,
                                  lr=spec.lr, lr_decay=spec.lr_decay,
-                                 track_best=spec.track_best)
+                                 track_best=spec.track_best,
+                                 record_params=spec.record_evolution > 0)
     elif spec.method in QUASI_NEWTON_METHODS:
         result = run_lbfgs(objective, x0, spec.n_iter)
     else:
@@ -132,5 +136,7 @@ def estimate_frame_gml(
     vx, vy, _pxy = unfold_scalar_params(theta, gen)
     flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None],
                             (2,) + gen.image_size)
-    return flow, {"theta": theta, "loss": result.loss,
-                  "history": result.history}
+    aux = {"theta": theta, "loss": result.loss, "history": result.history}
+    if spec.record_evolution > 0 and result.get("params_history") is not None:
+        aux["theta_history"] = result["params_history"][::spec.record_evolution]
+    return flow, aux

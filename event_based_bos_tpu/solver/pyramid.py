@@ -60,6 +60,13 @@ class PyramidSpec:
     # domain from the full frame to the ROI — an approximation, off by
     # default (see dense_objective docstring).
     restrict_to_roi: bool = False
+    # DEBUG observability: > 0 records the parameter iterate every
+    # ``record_evolution`` steps into ``aux["params_history"]`` so the host
+    # can render per-iteration prediction/measurement videos (the
+    # ``LossVideosMaker`` / ``visualize_evolution`` analogue,
+    # ``generative_max_likelihood.py:39-82``,
+    # ``patch_eklt_dependent.py:139-176``).
+    record_evolution: int = 0
 
     @property
     def n_scales(self) -> int:
@@ -152,6 +159,7 @@ def solve_pyramid(
     params_per_scale: List[jax.Array] = []
     histories: List[jax.Array] = []
     term_histories: List[Dict[str, jax.Array]] = []
+    evolution: List[jax.Array] = []
     params = None
     for i, (grid, n_it) in enumerate(zip(grids, iters)):
         gshape = grid.shape
@@ -175,11 +183,14 @@ def solve_pyramid(
         result = run_first_order(
             objective, x0, n_it, method=spec.method,
             lr=spec.lr if lr is None else lr,
-            lr_decay=spec.lr_decay, track_best=spec.track_best, has_aux=True)
+            lr_decay=spec.lr_decay, track_best=spec.track_best, has_aux=True,
+            record_params=spec.record_evolution > 0)
         params = result.param
         params_per_scale.append(params)
         histories.append(result.history)
         term_histories.append(result.aux_history)
+        if spec.record_evolution > 0:
+            evolution.append(result.params_history[::spec.record_evolution])
 
     if gen.poisson_model:
         patch_flow = poisson_to_flow(params[0], ksize=gen.sobel_ksize)
@@ -194,6 +205,8 @@ def solve_pyramid(
         "loss_history": histories,
         "term_history": term_histories,
     }
+    if spec.record_evolution > 0:
+        aux["params_history"] = evolution
     if gen.optimize_warp:
         aux["pxy"] = patch_to_dense(params[-2:], grids[-1]) * mask_o
     return dense_flow, aux

@@ -323,3 +323,39 @@ def test_pxpy_as_anglemagn_unfold_and_solve(scene):
         lambda e, f, k: estimate_frame_gml(e, f, k, spec=gml))(
             ev, jnp.asarray(I1, jnp.float32), jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_debug_evolution_video(scene, tmp_path):
+    """record_evolution produces per-iteration opt_prediction/opt_measured
+    frames and an assembled video (the LossVideosMaker analogue,
+    ``gml:39-82`` / ``patch_eklt_dependent.py:139-176``)."""
+    import os
+
+    from event_based_bos_tpu.visualizer import Visualizer
+
+    I1, _, events = scene
+    viz = Visualizer((H, W), show=False, save=True, save_dir=str(tmp_path))
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["record_evolution"] = 4
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, viz)
+    assert solv.spec.record_evolution == 4
+    flow = solv.estimate(events, None, frame=I1, background=I1)
+    assert np.isfinite(flow).all()
+    evo_dir = tmp_path / "0"
+    preds = list(evo_dir.glob("opt_prediction*.png"))
+    assert len(preds) >= 2, list(evo_dir.iterdir())
+    assert (evo_dir / "opt_prediction.mp4").exists()
+    assert (evo_dir / "opt_measured.mp4").exists()
+
+    # GML facade path
+    cfg2 = TestApiFacade()._config("generative_max_likelihood")
+    cfg2["record_evolution"] = 6
+    cfg2["generative_ml"] = dict(cfg2["generative_ml"], poisson_model=False)
+    viz2 = Visualizer((H, W), show=False, save=True,
+                      save_dir=str(tmp_path / "gml"))
+    solv2 = collections["generative_max_likelihood"]((H, W), (H, W), {}, cfg2,
+                                                     viz2)
+    flow2 = solv2.estimate(events, None, frame=I1, background=I1)
+    assert np.isfinite(flow2).all()
+    gml_dir = tmp_path / "gml" / "0"
+    assert list(gml_dir.glob("opt_prediction*.png"))
