@@ -150,7 +150,16 @@ def _validate(u, v, s2n, settings: PivSettings, first_pass: bool):
 
 
 def _replace_localmean(u, v, bad, iterations: int, ksize: int):
-    """Replace invalid vectors by the local mean of valid neighbours."""
+    """Replace invalid vectors by the local mean of valid neighbours.
+
+    OpenPIV ``replace_nans(method="localmean")`` semantics: each of the
+    ``max_filter_iteration`` rounds fills only the invalid cells that have at
+    least one VALID neighbour in the ``(2k+1)²`` window; freshly filled cells
+    become valid for the next round, so holes erode from their borders
+    inward.  Cells still unfilled after the final round fall back to the
+    global mean of the valid vectors (OpenPIV leaves NaN there, which the
+    downstream dense interpolation cannot represent).
+    """
     k = 2 * ksize + 1
     kernel = jnp.ones((k, k), u.dtype)
     kernel = kernel.at[ksize, ksize].set(0.0)
@@ -162,17 +171,24 @@ def _replace_localmean(u, v, bad, iterations: int, ksize: int):
 
     for _ in range(iterations):
         good = (~bad).astype(u.dtype)
+        cnt = conv(good)
+        fillable = bad & (cnt > 0)
         for f_idx in range(2):
             f = u if f_idx == 0 else v
-            s = conv(f * good)
-            c = conv(good)
-            repl = s / jnp.maximum(c, 1.0)
-            f = jnp.where(bad, repl, f)
+            repl = conv(f * good) / jnp.maximum(cnt, 1.0)
+            f = jnp.where(fillable, repl, f)
             if f_idx == 0:
                 u = f
             else:
                 v = f
-        bad = bad & False  # single replacement round marks all as filled
+        bad = bad & ~fillable
+    any_good = jnp.any(~bad)
+    mean_u = jnp.where(any_good, jnp.sum(jnp.where(bad, 0.0, u))
+                       / jnp.maximum(jnp.sum(~bad), 1), 0.0)
+    mean_v = jnp.where(any_good, jnp.sum(jnp.where(bad, 0.0, v))
+                       / jnp.maximum(jnp.sum(~bad), 1), 0.0)
+    u = jnp.where(bad, mean_u, u)
+    v = jnp.where(bad, mean_v, v)
     return u, v
 
 

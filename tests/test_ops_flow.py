@@ -277,3 +277,80 @@ class TestPIV:
             np.median(flow[0][inner])
         assert abs(np.median(flow[1][inner]) - shift_r) < 0.5, \
             np.median(flow[1][inner])
+
+
+class TestPIVAccuracy:
+    """Quantitative PIV validation on classic synthetic particle pairs."""
+
+    @staticmethod
+    def _render_particles(pos, shape, sigma=1.2):
+        img = np.zeros(shape)
+        rr, cc = np.mgrid[0:shape[0], 0:shape[1]].astype(float)
+        for r, c in pos:
+            m = (np.abs(rr - r) < 5) & (np.abs(cc - c) < 5)
+            img[m] += np.exp(-((rr[m] - r) ** 2 + (cc[m] - c) ** 2)
+                             / (2 * sigma**2))
+        return 255.0 * img / max(img.max(), 1e-9)
+
+    def _pair(self, disp_fn, shape=(128, 160), n=900, seed=3):
+        rng = np.random.default_rng(seed)
+        pos = np.stack([rng.uniform(4, shape[0] - 4, n),
+                        rng.uniform(4, shape[1] - 4, n)], 1)
+        a = self._render_particles(pos, shape)
+        moved = pos + np.stack([disp_fn(pos)[:, 0], disp_fn(pos)[:, 1]], 1)
+        b = self._render_particles(moved, shape)
+        return a, b
+
+    def test_uniform_displacement_subtenth_pixel(self):
+        from event_based_bos_tpu.piv import piv_multipass
+        from event_based_bos_tpu.utils.config import PivSettings
+
+        dr, dc = 2.3, -1.7
+        a, b = self._pair(lambda p: np.tile([[dr, dc]], (len(p), 1)))
+        settings = PivSettings(windowsizes=(64, 32), overlap=(32, 16),
+                               smoothn=False)
+        flow = piv_multipass(a, b, settings)
+        inner = (slice(32, 96), slice(32, 128))
+        err_c = np.abs(flow[0][inner] - dc).mean()
+        err_r = np.abs(flow[1][inner] - dr).mean()
+        assert err_r < 0.1 and err_c < 0.1, (err_r, err_c)
+
+    def test_linear_shear_subtenth_pixel(self):
+        from event_based_bos_tpu.piv import piv_multipass
+        from event_based_bos_tpu.utils.config import PivSettings
+
+        H_, W_ = 128, 160
+
+        def disp(p):
+            # column displacement growing linearly with row: du_c/dr = 0.02
+            return np.stack([np.full(len(p), 0.8),
+                             0.02 * (p[:, 0] - H_ / 2)], 1)
+
+        a, b = self._pair(disp, shape=(H_, W_))
+        settings = PivSettings(windowsizes=(64, 32), overlap=(32, 16),
+                               smoothn=False)
+        flow = piv_multipass(a, b, settings)
+        rr = np.mgrid[0:H_, 0:W_][0].astype(float)
+        gt_c = 0.02 * (rr - H_ / 2)
+        inner = (slice(32, 96), slice(32, 128))
+        err_c = np.abs(flow[0][inner] - gt_c[inner]).mean()
+        err_r = np.abs(flow[1][inner] - 0.8).mean()
+        assert err_r < 0.1 and err_c < 0.1, (err_r, err_c)
+
+    def test_replace_localmean_iterative_erosion(self):
+        """Hole filling erodes inward per round (OpenPIV replace_nans
+        semantics), with the global-mean fallback for unfilled cells."""
+        from event_based_bos_tpu.piv import _replace_localmean
+
+        u = jnp.ones((9, 9)) * 4.0
+        v = jnp.ones((9, 9)) * -2.0
+        bad = np.zeros((9, 9), bool)
+        bad[2:7, 2:7] = True  # 5x5 hole: needs >=2 localmean rounds (k=1)
+        u = jnp.where(jnp.asarray(bad), 99.0, u)
+        one_u, _ = _replace_localmean(u, v, jnp.asarray(bad), 1, 1)
+        # after ONE round the hole interior falls back to the global mean of
+        # valid cells — not the border-propagated value
+        assert abs(float(one_u[4, 4]) - 4.0) < 1e-5
+        two_u, two_v = _replace_localmean(u, v, jnp.asarray(bad), 3, 1)
+        np.testing.assert_allclose(np.asarray(two_u), 4.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(two_v), -2.0, atol=1e-5)
