@@ -6,6 +6,8 @@ increment, the joint objective value, and the full pyramid solve from an
 identical initialization.  Skipped when the reference tree is not mounted.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -233,3 +235,36 @@ class TestGmlParity:
         pred = pred / np.linalg.norm(np.asarray(pred))
         np.testing.assert_allclose(np.asarray(pred), want, rtol=1e-3,
                                    atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("EBT_FULL_PARITY")
+         and os.path.exists(os.path.join(os.path.dirname(__file__), "goldens",
+                                         "pyramid_720x1280_ref_flow.npy"))),
+    reason="benchmark-scale parity: set EBT_FULL_PARITY=1 (needs the golden "
+           "from tools/golden_parity.py; ~1 min solve at 720x1280 on CPU)")
+def test_benchmark_scale_golden_parity():
+    """720×1280 dense-flow agreement vs the stored reference golden.
+
+    The golden is the reference PatchEkltPyramid2 run on the hot_plate1-
+    geometry synthetic scene from a pinned init (tools/golden_parity.py);
+    thresholds mirror docs/parity_matrix.md (MSE 9.9e-3, corr 0.972 measured).
+    """
+    import importlib.util
+
+    spec_path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                             "golden_parity.py")
+    mod_spec = importlib.util.spec_from_file_location("golden_parity",
+                                                      spec_path)
+    gp = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(gp)
+
+    ref_flow = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                    "pyramid_720x1280_ref_flow.npy"))
+    my_flow, _dt = gp.run_mine(*gp.make_scene()[:2], gp.pinned_init())
+    crop = (slice(None), slice(gp.ROI[0], gp.ROI[1]), slice(gp.ROI[2], gp.ROI[3]))
+    diff = my_flow[crop] - ref_flow[crop]
+    mse = float(np.mean(diff**2))
+    corr = float(np.corrcoef(my_flow[crop].ravel(), ref_flow[crop].ravel())[0, 1])
+    assert mse < 2e-2, mse
+    assert corr > 0.95, corr
