@@ -25,6 +25,7 @@ __all__ = [
     "warp_image_shift",
     "resize_matrix",
     "resize_bilinear",
+    "upsample_bilinear_phased",
     "pad_to_same_resolution",
     "pad_to_same_resolution_center",
     "standardize_image_minmax",
@@ -183,6 +184,57 @@ def _resize_matrix_np(in_size: int, out_size: int) -> np.ndarray:
 
 def resize_matrix(in_size: int, out_size: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(_resize_matrix_np(in_size, out_size), dtype)
+
+
+def _upsample_axis_phased(x: jax.Array, s: int, axis: int) -> jax.Array:
+    """Exact integer-factor bilinear upsample along one axis.
+
+    Phase decomposition of the half-pixel interpolation matrix: every output
+    index ``k·s + p`` reads ``in[k + d_p]`` and ``in[k + d_p + 1]`` with a
+    phase-constant weight, so the whole resize is ``s`` weighted adds of
+    edge-clamped shifts — pure VPU, 2 input reads, no MXU.  Bit-equivalent to
+    ``resize_matrix``.
+
+    MEASURED NEGATIVE RESULT on TPU v5e: despite the dense interpolation
+    matrix wasting ~in/2 of its FLOPs (2 nonzeros per row), the matmul
+    formulation in :func:`resize_bilinear` is 2.4× FASTER inside the
+    720×1280 solver loop — the phase interleave (stack+reshape) is a sublane
+    relayout Mosaic serializes, while MXU matmuls pipeline with the
+    surrounding fusion.  Kept as the documented alternative (it wins on CPU
+    and for very large strides); the solvers use the matmul path.
+    """
+    ax = axis % x.ndim
+    xm = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=ax),
+                          jax.lax.slice_in_dim(x, 0, -1, axis=ax)], ax)
+    xp = jnp.concatenate([jax.lax.slice_in_dim(x, 1, None, axis=ax),
+                          jax.lax.slice_in_dim(x, x.shape[ax] - 1, None,
+                                               axis=ax)], ax)
+    phases = []
+    for p in range(s):
+        f = (p + 0.5) / s - 0.5
+        if f < 0:
+            a, b, w = xm, x, f + 1.0
+        else:
+            a, b, w = x, xp, f
+        w = jnp.asarray(w, x.dtype)
+        phases.append((1 - w) * a + w * b)
+    stacked = jnp.stack(phases, axis=ax + 1)
+    new_shape = x.shape[:ax] + (x.shape[ax] * s,) + x.shape[ax + 1:]
+    return stacked.reshape(new_shape)
+
+
+def upsample_bilinear_phased(field: jax.Array,
+                             stride: Tuple[int, int]) -> jax.Array:
+    """Integer-factor bilinear upsample of the trailing 2 axes (see
+    :func:`_upsample_axis_phased`); equals ``resize_bilinear`` to float
+    round-off for ``out = in·stride``."""
+    s_r, s_c = int(stride[0]), int(stride[1])
+    x = field
+    if s_r > 1:
+        x = _upsample_axis_phased(x, s_r, -2)
+    if s_c > 1:
+        x = _upsample_axis_phased(x, s_c, -1)
+    return x
 
 
 def resize_bilinear(image: jax.Array, out_shape: Tuple[int, int]) -> jax.Array:

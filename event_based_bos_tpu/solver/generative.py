@@ -238,6 +238,12 @@ def patch_to_dense(
     output rows/cols, so no out-of-crop pixels are ever computed.  ``crop``
     (x0, x1, y0, y1 in image coordinates) restricts the output further —
     used by the ROI-restricted objective.
+
+    Formulation note (measured on v5e, 720×1280 solve): the dense banded
+    matmuls beat the "obvious" phase-decomposed shift-and-add upsample
+    (``ops.image_warp.upsample_bilinear_phased``) by 2.4× inside the solver
+    — the phase interleave is a sublane relayout the TPU pays for dearly,
+    while the MXU matmul pipelines cleanly with the surrounding fusion.
     """
     from ..ops.image_warp import resize_matrix
 

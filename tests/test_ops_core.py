@@ -474,3 +474,36 @@ class TestIweVariants:
         want = ref_eic.create_image_from_events_numpy(evn, "count", sigma=0)
         got = create_image_from_events(ev, (32, 48), "count", sigma=0)
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-9)
+
+
+class TestPhasedUpsample:
+    def test_matches_resize_matrix_exactly(self):
+        import jax.numpy as jnp
+
+        from event_based_bos_tpu.ops.image_warp import (
+            resize_bilinear, upsample_bilinear_phased)
+
+        rng = np.random.default_rng(0)
+        for s, (h, w) in (((2, 2), (7, 9)), ((3, 5), (6, 4)), ((8, 8), (12, 20))):
+            x = jnp.asarray(rng.uniform(-1, 1, (3, h, w)))
+            want = resize_bilinear(x, (h * s[0], w * s[1]))
+            got = upsample_bilinear_phased(x, s)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6)
+
+    def test_patch_to_dense_crop_consistent(self):
+        """Cropped (matrix) and uncropped (phased) paths agree on the crop."""
+        import jax.numpy as jnp
+
+        from event_based_bos_tpu.solver.generative import patch_to_dense
+        from event_based_bos_tpu.types import PatchGrid
+
+        rng = np.random.default_rng(1)
+        grid = PatchGrid((64, 96), (8, 8), (8, 8))
+        field = jnp.asarray(rng.uniform(-1, 1, (3, 8, 12)), jnp.float32)
+        full = patch_to_dense(field, grid)
+        crop = (8, 40, 16, 80)
+        cropped = patch_to_dense(field, grid, crop=crop)
+        np.testing.assert_allclose(
+            np.asarray(full[..., crop[0]:crop[1], crop[2]:crop[3]]),
+            np.asarray(cropped), atol=1e-5)
