@@ -117,6 +117,27 @@ def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
             img = jnp.pad(img[..., :, :ocol], pads + [(0, 0), (-ocol, 0)])
         return img
 
+    if radius == 1 and flow.ndim != 1:
+        # Sign-select 4-tap form: for |u| ≤ 1 exactly two of the three row
+        # hats are nonzero — hat(u−1) = relu(u), hat(u) = 1−|u|, hat(u+1) =
+        # relu(−u) — so the 9-tap sum collapses to a bilinear mix of the
+        # center and the sign(u)/sign(v)-side neighbours.  ~2× fewer VPU ops
+        # per pixel (measured inside the solver loop); identical to the
+        # 9-tap form for |flow| ≤ 1 including the zero-fill boundary (taps
+        # beyond the frame read zero-padded shifts either way).
+        au = jnp.abs(u)
+        av = jnp.abs(v)
+        up = u >= 0
+        vp = v >= 0
+        i_su = jnp.where(up, shift2(image, -1, 0), shift2(image, 1, 0))
+        i_sv = jnp.where(vp, shift2(image, 0, -1), shift2(image, 0, 1))
+        i_suv = jnp.where(
+            up,
+            jnp.where(vp, shift2(image, -1, -1), shift2(image, -1, 1)),
+            jnp.where(vp, shift2(image, 1, -1), shift2(image, 1, 1)))
+        return ((1 - au) * (1 - av) * image + (1 - au) * av * i_sv
+                + au * (1 - av) * i_su + au * av * i_suv)
+
     out = jnp.zeros_like(image)
     for orow in range(-radius, radius + 1):
         wr = jnp.maximum(0.0, 1.0 - jnp.abs(u + orow))
