@@ -35,7 +35,7 @@ jax.config.update("jax_enable_x64", True)
 
 H, W = 720, 1280
 ROI = (0, 720, 320, 960)
-N_ITER = 40  # matched reduced schedule: per-scale 8, 10, 13, 20
+N_ITER = int(os.environ.get("EBT_PARITY_ITERS", 40))  # default: matched reduced schedule 8/10/13/20
 GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
 
@@ -156,7 +156,8 @@ def main():
     prev = pinned_init()
 
     ref_flow, ref_dt = run_reference(events, frame, prev)
-    np.save(os.path.join(GOLDEN_DIR, "pyramid_720x1280_ref_flow.npy"),
+    suffix = "" if N_ITER == 40 else f"_n{N_ITER}"
+    np.save(os.path.join(GOLDEN_DIR, f"pyramid_720x1280_ref_flow{suffix}.npy"),
             ref_flow.astype(np.float32))
 
     my_flow, my_dt = run_mine(events, frame, prev)
@@ -177,7 +178,8 @@ def main():
         "ref_solve_s": ref_dt, "my_solve_s_cpu_incl_compile": my_dt,
         "epe_vs_gt": {k: v["EPE"] for k, v in errs.items()},
     }
-    with open(os.path.join(GOLDEN_DIR, "pyramid_720x1280_meta.json"), "w") as f:
+    with open(os.path.join(GOLDEN_DIR,
+                           f"pyramid_720x1280_meta{suffix}.json"), "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps(meta, indent=1))
 
