@@ -124,9 +124,13 @@ def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
         # center and the sign(u)/sign(v)-side neighbours.  ~2× fewer VPU ops
         # per pixel (measured inside the solver loop); identical to the
         # 9-tap form for |flow| ≤ 1 including the zero-fill boundary (taps
-        # beyond the frame read zero-padded shifts either way).
-        au = jnp.abs(u)
-        av = jnp.abs(v)
+        # beyond the frame read zero-padded shifts either way).  Beyond the
+        # declared envelope the weights are clamped to [0, 1] — a bounded
+        # convex mix holding the full-neighbour value (the 9-tap form
+        # instead fades hat weights to zero by |flow| = 2); without the
+        # clamp the mix extrapolates with negative weights and amplifies.
+        au = jnp.minimum(jnp.abs(u), 1.0)
+        av = jnp.minimum(jnp.abs(v), 1.0)
         up = u >= 0
         vp = v >= 0
         i_su = jnp.where(up, shift2(image, -1, 0), shift2(image, 1, 0))

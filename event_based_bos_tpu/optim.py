@@ -90,7 +90,7 @@ def run_first_order(
     track_best: bool = True,
     has_aux: bool = False,
     bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
-    record_params: bool = False,
+    record_every: int = 0,
 ) -> OptResult:
     """Run a first-order optimizer for ``n_iter`` steps inside ``lax.scan``.
 
@@ -99,16 +99,19 @@ def run_first_order(
     objective returns ``(loss, aux)`` and the stacked aux pytree is returned
     as ``aux_history`` (per-term cost history parity with
     ``CostBase.register_history``).  ``bounds = (lo, hi)`` projects every
-    iterate onto the box (projected gradient step).  ``record_params``
-    additionally returns the full iterate trajectory as ``params_history``
-    (DEBUG optimization-evolution videos, the ``LossVideosMaker`` analogue).
+    iterate onto the box (projected gradient step).  ``record_every = k > 0``
+    additionally returns every k-th iterate as ``params_history`` (DEBUG
+    optimization-evolution videos, the ``LossVideosMaker`` analogue); the
+    stride is applied INSIDE the scan via a preallocated
+    ``ceil(n_iter/k)``-slot buffer, so recording costs only the frames kept.
     """
     lr_step = n_iter if lr_step is None else lr_step
     opt = make_optimizer(method, lr, lr_step, lr_decay)
     vg = jax.value_and_grad(objective, has_aux=has_aux)
+    n_rec = -(-n_iter // record_every) if record_every > 0 else 0
 
     def step(carry, _):
-        x, opt_state, best_x, best_loss, best_it, it = carry
+        x, opt_state, best_x, best_loss, best_it, it, buf = carry
         if has_aux:
             (loss, aux), grad = vg(x)
         else:
@@ -118,25 +121,29 @@ def run_first_order(
         best_x = jnp.where(better, x, best_x) if track_best else best_x
         best_it = jnp.where(better, it, best_it)
         best_loss = jnp.minimum(loss, best_loss)
+        if record_every > 0:
+            slot = it // record_every
+            keep = it % record_every == 0
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(keep, x, buf[slot]), slot, 0)
         updates, opt_state = opt.update(grad, opt_state, x)
         x_new = optax.apply_updates(x, updates)
         if bounds is not None:
             x_new = jnp.clip(x_new, bounds[0], bounds[1])
-        out = (loss, aux, x) if record_params else (loss, aux)
-        return (x_new, opt_state, best_x, best_loss, best_it, it + 1), out
+        return ((x_new, opt_state, best_x, best_loss, best_it, it + 1, buf),
+                (loss, aux))
 
+    buf0 = (jnp.zeros((n_rec,) + x0.shape, x0.dtype) if record_every > 0
+            else jnp.zeros((0,) + x0.shape, x0.dtype))
     init = (x0, opt.init(x0), x0, jnp.asarray(jnp.inf, x0.dtype),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    (x, _, best_x, best_loss, best_it, _), outs = jax.lax.scan(
-        step, init, None, length=n_iter)
-    if record_params:
-        history, aux_history, params_history = outs
-    else:
-        (history, aux_history), params_history = outs, None
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), buf0)
+    carry, (history, aux_history) = jax.lax.scan(step, init, None,
+                                                 length=n_iter)
+    x, _, best_x, best_loss, best_it, _, buf = carry
     param = best_x if track_best else x
     return OptResult(param=param, loss=best_loss, best_iter=best_it,
                      history=history, aux_history=aux_history, last_param=x,
-                     params_history=params_history)
+                     params_history=buf if record_every > 0 else None)
 
 
 def run_lbfgs(
@@ -176,10 +183,12 @@ def run_lbfgs(
         step, init, jnp.arange(n_iter, dtype=jnp.int32))
     final_loss = objective(x)
     use_final = final_loss < best_loss
+    # when the post-loop iterate wins, report the last valid history index
+    # (n_iter - 1) so best_iter always indexes `history`
     return OptResult(param=jnp.where(use_final, x, best_x),
                      loss=jnp.minimum(final_loss, best_loss),
                      best_iter=jnp.where(use_final,
-                                         jnp.asarray(n_iter, jnp.int32),
+                                         jnp.asarray(n_iter - 1, jnp.int32),
                                          best_it),
                      history=history, last_param=x)
 

@@ -376,6 +376,14 @@ class SolverBase:
                 image, _ts = self._e2vid_loader.load_image(index)
                 return np.asarray(image)
             if kwargs.get("frame") is not None:
+                # only correct when the main data loader is E2VID (its
+                # `frame` IS the reconstruction) — warn so a plain camera
+                # loader misconfiguration is visible
+                logger.warning(
+                    "model_image 'e2vid' without a generative_ml.e2vid "
+                    "loader config: using the supplied `frame` as the "
+                    "reconstruction — valid only with the E2VID data "
+                    "loader.")
                 return np.asarray(kwargs["frame"])
             raise ValueError(
                 "model_image 'e2vid' needs a generative_ml.e2vid loader "

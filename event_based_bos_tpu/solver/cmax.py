@@ -149,8 +149,14 @@ def solve_cmax_translation(ev: Events, key: jax.Array, spec: CmaxSpec,
             warped = warp_event_2dof(ev, theta, ref_time, normalize_t=True)
             return contrast_loss(_roi_iwe(warped, spec), spec)
 
-    lo = jnp.array([b[0] for b in spec.param_bounds], spec.dtype)
-    hi = jnp.array([b[1] for b in spec.param_bounds], spec.dtype)
+    # the 2-DoF model has exactly two parameters; configs that reuse a wider
+    # GML-style optimizer.parameters block are truncated to the leading pair
+    # (and a short/missing block falls back to the default box)
+    pb = spec.param_bounds[:2]
+    if len(pb) < 2:
+        pb = tuple(pb) + ((-30.0, 30.0),) * (2 - len(pb))
+    lo = jnp.array([b[0] for b in pb], spec.dtype)
+    hi = jnp.array([b[1] for b in pb], spec.dtype)
     if spec.method in SAMPLER_METHODS:
         result = run_sampler(objective, (lo, hi), spec.n_iter, spec.method, key)
         return result.param, result

@@ -28,7 +28,7 @@ from .generative import (
     measured_increment,
     params_to_fields,
     predict_increment,
-    unfold_scalar_params,
+    scalar_prediction,
 )
 
 __all__ = ["render_pyramid_evolution", "render_gml_evolution"]
@@ -99,24 +99,10 @@ def render_gml_evolution(visualizer, frame, ev, aux, spec,
     measured = np.asarray(measured_increment(hist, weights, roi=spec.roi))
     x0, x1, y0, y1 = spec.roi
     weights_roi = None if weights is None else weights[x0:x1, y0:y1]
-    from ..ops.image_warp import warp_image_shift, warp_image_stencil
-
     for theta in np.asarray(aux["theta_history"]):
         th = jnp.asarray(theta, gen.dtype)
-        vx, vy, pxy = unfold_scalar_params(th, gen)
-        if pxy is not None:
-            shift = jnp.stack([pxy[0], pxy[1]])
-            if gen.warp_stencil_radius > 0:
-                gxw = warp_image_stencil(gx, shift, gen.warp_stencil_radius)
-                gyw = warp_image_stencil(gy, shift, gen.warp_stencil_radius)
-            else:
-                gxw = warp_image_shift(gx, shift)
-                gyw = warp_image_shift(gy, shift)
-        else:
-            gxw, gyw = gx, gy
-        pred = vx * gxw[x0:x1, y0:y1] + vy * gyw[x0:x1, y0:y1]
-        if weights_roi is not None:
-            pred = pred * weights_roi
-        pred = pred / (jnp.linalg.norm(pred) + 1e-4)
+        # exactly the optimizer's prediction (shared code path)
+        pred, _params = scalar_prediction(th, gx, gy, spec.roi, gen,
+                                          weights_roi)
         _emit(viz, np.asarray(pred), measured)
     _finish(viz)

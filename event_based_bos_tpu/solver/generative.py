@@ -46,6 +46,7 @@ __all__ = [
     "predict_increment",
     "params_to_fields",
     "dense_objective",
+    "scalar_prediction",
     "scalar_objective",
     "initialize_params",
     "scalar_param_dim",
@@ -425,23 +426,20 @@ def unfold_scalar_params(theta: jax.Array, spec: GenerativeSpec):
     return vx, vy, pxy
 
 
-def scalar_objective(
+def scalar_prediction(
     theta: jax.Array,
-    measured_roi: jax.Array,
     gx: jax.Array,
     gy: jax.Array,
-    weight_inverse: jax.Array,
     roi: Tuple[int, int, int, int],
     spec: GenerativeSpec,
     weights_roi: Optional[jax.Array] = None,
 ):
-    """Whole-ROI objective over 1-4 scalar parameters.
+    """Normalized whole-ROI prediction for a scalar parameter vector.
 
-    Parity: ``GenerativeMaximumLikelihood._objective_scipy`` +
-    ``_make_prediction_torch`` (``gml:343-373``, ``459-487``): the full-size
-    gradients are globally shifted by (p_x, p_y), cropped to the ROI, dotted
-    with the constant velocity, L2-normalized; cost sees the constant flow
-    field and translation over the ROI.
+    The prediction half of :func:`scalar_objective`
+    (``gml._make_prediction_torch``, ``gml:459-487``), shared with the DEBUG
+    evolution renderer so the video shows exactly what the optimizer saw.
+    Returns ``(pred_roi, (vx, vy, pxy))``.
     """
     x0, x1, y0, y1 = roi
     vx, vy, pxy = unfold_scalar_params(theta, spec)
@@ -462,6 +460,30 @@ def scalar_objective(
     if weights_roi is not None:
         pred = pred * weights_roi
     pred = pred / (_safe_frobenius(pred) + NORM_EPS)
+    return pred, (vx, vy, pxy)
+
+
+def scalar_objective(
+    theta: jax.Array,
+    measured_roi: jax.Array,
+    gx: jax.Array,
+    gy: jax.Array,
+    weight_inverse: jax.Array,
+    roi: Tuple[int, int, int, int],
+    spec: GenerativeSpec,
+    weights_roi: Optional[jax.Array] = None,
+):
+    """Whole-ROI objective over 1-4 scalar parameters.
+
+    Parity: ``GenerativeMaximumLikelihood._objective_scipy`` +
+    ``_make_prediction_torch`` (``gml:343-373``, ``459-487``): the full-size
+    gradients are globally shifted by (p_x, p_y), cropped to the ROI, dotted
+    with the constant velocity, L2-normalized; cost sees the constant flow
+    field and translation over the ROI.
+    """
+    x0, x1, y0, y1 = roi
+    pred, (vx, vy, pxy) = scalar_prediction(theta, gx, gy, roi, spec,
+                                            weights_roi)
 
     roi_shape = (x1 - x0, y1 - y0)
     flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None], (2,) + roi_shape)

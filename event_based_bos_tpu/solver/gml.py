@@ -106,7 +106,7 @@ def solve_gml(
         result = run_first_order(objective, x0, spec.n_iter, spec.method,
                                  lr=spec.lr, lr_decay=spec.lr_decay,
                                  track_best=spec.track_best,
-                                 record_params=spec.record_evolution > 0)
+                                 record_every=spec.record_evolution)
     elif spec.method in QUASI_NEWTON_METHODS:
         result = run_lbfgs(objective, x0, spec.n_iter)
     else:
@@ -138,5 +138,5 @@ def estimate_frame_gml(
                             (2,) + gen.image_size)
     aux = {"theta": theta, "loss": result.loss, "history": result.history}
     if spec.record_evolution > 0 and result.get("params_history") is not None:
-        aux["theta_history"] = result["params_history"][::spec.record_evolution]
+        aux["theta_history"] = result["params_history"]
     return flow, aux

@@ -184,13 +184,13 @@ def solve_pyramid(
             objective, x0, n_it, method=spec.method,
             lr=spec.lr if lr is None else lr,
             lr_decay=spec.lr_decay, track_best=spec.track_best, has_aux=True,
-            record_params=spec.record_evolution > 0)
+            record_every=spec.record_evolution)
         params = result.param
         params_per_scale.append(params)
         histories.append(result.history)
         term_histories.append(result.aux_history)
         if spec.record_evolution > 0:
-            evolution.append(result.params_history[::spec.record_evolution])
+            evolution.append(result.params_history)
 
     if gen.poisson_model:
         patch_flow = poisson_to_flow(params[0], ksize=gen.sobel_ksize)

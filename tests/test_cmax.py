@@ -184,10 +184,11 @@ def test_lbfgs_reports_real_best_iter():
 
     obj = lambda x: jnp.sum((x - 3.0) ** 2)
     res = run_lbfgs(obj, jnp.zeros((2,)), n_iter=25)
-    # converged run: the best iterate is late, not the hardcoded 0
-    assert int(res.best_iter) > 0
+    # converged run: the best iterate is late, not the hardcoded 0, and
+    # best_iter always indexes the history
+    assert 0 < int(res.best_iter) <= 24
     np.testing.assert_allclose(np.asarray(res.param), 3.0, atol=1e-3)
-    assert float(res.history[int(min(res.best_iter, 24))]) <= float(res.history[0])
+    assert float(res.history[int(res.best_iter)]) <= float(res.history[0])
 
 
 def test_binned_accuracy_envelope_vs_warp_radius():
@@ -221,3 +222,16 @@ def test_binned_accuracy_envelope_vs_warp_radius():
     assert inside_small > 0.95, inside_small
     assert inside_edge > 0.95, inside_edge
     assert outside < inside_edge, (outside, inside_edge)
+
+
+def test_translation_accepts_wider_bounds_block():
+    """A GML-style 4-entry optimizer.parameters block must not crash the
+    2-DoF translation path (bounds truncate to the leading pair)."""
+    evn = moving_edge_events(2.0, -2.0, n=2000, seed=10)
+    ev = events_from_ndarray(evn)
+    spec = CmaxSpec(image_size=(H, W), motion_model="2d-translation",
+                    n_iter=20, lr=0.5, method="Adam",
+                    param_bounds=((-5, 5),) * 4)
+    m, _ = solve_cmax_translation(ev, jax.random.PRNGKey(0), spec)
+    m = np.asarray(m)
+    assert m.shape == (2,) and (np.abs(m) <= 5 + 1e-6).all()

@@ -525,3 +525,15 @@ def test_stencil_select_form_matches_nine_tap():
     # the same flow — identical for |flow| <= 1)
     want = warp_image_stencil(img, flow, radius=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
+
+
+def test_stencil_select_form_bounded_beyond_envelope():
+    """For |flow| > 1 the radius-1 path clamps to a convex mix — output must
+    stay within the local value range (no negative-weight amplification)."""
+    from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 1, (10, 12)))
+    flow = jnp.full((2, 10, 12), 1.6)
+    out = np.asarray(warp_image_stencil(img, flow, radius=1))
+    assert out.min() >= 0.0 - 1e-6 and out.max() <= 1.0 + 1e-6
