@@ -124,13 +124,23 @@ def warp_image_stencil(image: jax.Array, flow: jax.Array, radius: int = 1
         # center and the sign(u)/sign(v)-side neighbours.  ~2× fewer VPU ops
         # per pixel (measured inside the solver loop); identical to the
         # 9-tap form for |flow| ≤ 1 including the zero-fill boundary (taps
-        # beyond the frame read zero-padded shifts either way).  Beyond the
-        # declared envelope the weights are clamped to [0, 1] — a bounded
-        # convex mix holding the full-neighbour value (the 9-tap form
-        # instead fades hat weights to zero by |flow| = 2); without the
-        # clamp the mix extrapolates with negative weights and amplifies.
-        au = jnp.minimum(jnp.abs(u), 1.0)
-        av = jnp.minimum(jnp.abs(v), 1.0)
+        # beyond the frame read zero-padded shifts either way).
+        #
+        # Beyond |flow| = 1 this form LINEARLY EXTRAPOLATES from the nearest
+        # pixel pair (weights leave [0, 1]) instead of fading hat weights to
+        # zero like the hat-sum.  Measured against the true gather warp on
+        # smooth images (tests/test_ops_core.py::
+        # test_stencil_select_extrapolation_beats_hat_fade): at |shift| 1.3 /
+        # 1.6 / 1.9 the extrapolation errs 0.002 / 0.004 / 0.006 vs the
+        # hat-sum's 0.15 / 0.30 / 0.46 — and it keeps useful gradients out
+        # there, which measurably improves the solver (bench EPE 0.168 vs
+        # 0.277 with weights clamped to [0,1]).  The price: on
+        # non-smooth inputs with |flow| >> 1 the extrapolation can overshoot
+        # the local value range; callers needing bounded output for large
+        # displacements should use radius >= max|flow| (9-tap) or
+        # warp_image_forward.
+        au = jnp.abs(u)
+        av = jnp.abs(v)
         up = u >= 0
         vp = v >= 0
         i_su = jnp.where(up, shift2(image, -1, 0), shift2(image, 1, 0))

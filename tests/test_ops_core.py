@@ -527,13 +527,38 @@ def test_stencil_select_form_matches_nine_tap():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-7)
 
 
-def test_stencil_select_form_bounded_beyond_envelope():
-    """For |flow| > 1 the radius-1 path clamps to a convex mix — output must
-    stay within the local value range (no negative-weight amplification)."""
-    from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+def test_stencil_select_extrapolation_beats_hat_fade():
+    """Beyond |flow| = 1 the radius-1 select form linearly extrapolates and
+    tracks the TRUE gather warp far better than the hat-sum's fade-to-zero
+    (measured ~0.004 vs ~0.30 mean error at |shift| = 1.6 on smooth images).
+    This is the documented out-of-envelope behavior; see warp_image_stencil.
+    """
+    import scipy.ndimage as ndi
+
+    from event_based_bos_tpu.ops.image_warp import (warp_image_forward,
+                                                    warp_image_stencil)
 
     rng = np.random.default_rng(4)
-    img = jnp.asarray(rng.uniform(0, 1, (10, 12)))
-    flow = jnp.full((2, 10, 12), 1.6)
-    out = np.asarray(warp_image_stencil(img, flow, radius=1))
-    assert out.min() >= 0.0 - 1e-6 and out.max() <= 1.0 + 1e-6
+    img = jnp.asarray(ndi.gaussian_filter(rng.uniform(0, 1, (40, 50)), 2.0))
+    flow = jnp.stack([jnp.full((40, 50), 1.6), jnp.full((40, 50), -0.96)])
+    true = np.asarray(warp_image_forward(img, flow))
+    inner = (slice(4, 36), slice(4, 46))
+    e_select = np.abs(np.asarray(warp_image_stencil(img, flow, radius=1))
+                      - true)[inner].mean()
+    e_hat = np.abs(np.asarray(warp_image_stencil(img, flow, radius=2))
+                   - true)[inner].mean()  # radius-2 hat covers 1.6 exactly
+    # the radius-1 extrapolation must stay close to truth on smooth input
+    assert e_select < 0.02, e_select
+    # and the radius-1 HAT form (emulated via the 9-tap at radius 1 on a
+    # shifted field) would fade: compare against a truncated-hat emulation
+    def hat9(image, u, v):
+        out = jnp.zeros_like(image)
+        for orow in (-1, 0, 1):
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(u + orow))
+            for ocol in (-1, 0, 1):
+                wc = jnp.maximum(0.0, 1.0 - jnp.abs(v + ocol))
+                out = out + wr * wc * jnp.roll(image, (-orow, -ocol), (0, 1))
+        return out
+
+    e_hat1 = np.abs(np.asarray(hat9(img, flow[0], flow[1])) - true)[inner].mean()
+    assert e_select < e_hat1 / 10, (e_select, e_hat1)
