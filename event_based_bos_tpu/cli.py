@@ -42,13 +42,38 @@ def validate_image(image: np.ndarray, config: dict) -> np.ndarray:
     return image
 
 
+def _prefetched(items, fn, depth: int = 1):
+    """Yield ``fn(item)`` in order, computing up to ``depth`` items ahead in
+    a worker thread (host-side IO/GT prefetch for the pipelined loop)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        pending = deque()
+        it = iter(items)
+        for item in it:
+            pending.append(ex.submit(fn, item))
+            if len(pending) > depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 def evaluate_per_frames(config, loader, solv, viz):
     """Frame-paced evaluation loop (``bos_event.py:109-220``).
 
-    Extensions over the reference: config key ``resume: true`` makes the loop
-    restartable mid-sequence through the per-frame result manifest
-    (:mod:`event_based_bos_tpu.utils.checkpoint`), and ``profile: true``
-    reports per-section host timings.
+    Extensions over the reference:
+
+    * ``resume: true`` makes the loop restartable mid-sequence through the
+      per-frame result manifest (:mod:`event_based_bos_tpu.utils.checkpoint`).
+    * ``profile: true`` reports per-section host timings.
+    * ``pipeline: true`` overlaps the stages across frames: host preparation
+      (frame IO, Farnebäck GT, event windowing) for frame *i+1* runs in a
+      prefetch thread while the device solves frame *i*, and the host-side
+      finalization (visualizations, error texts) of frame *i* runs while
+      frame *i+1*'s solve is in flight (JAX dispatch is asynchronous).
+      Outputs are identical to the synchronous loop — same jitted solve,
+      same RNG-key order, frame-ordered finalization.
     """
     from . import frame_flow, utils
     from .utils.checkpoint import FrameResultStore
@@ -57,6 +82,7 @@ def evaluate_per_frames(config, loader, solv, viz):
     store = (FrameResultStore(config["output_dir"])
              if config.get("resume") else None)
     timer = Timer() if config.get("profile") else None
+    pipeline = bool(config.get("pipeline"))
 
     eval_config = config["evaluation"]
     common = config["common_params"]
@@ -70,98 +96,155 @@ def evaluate_per_frames(config, loader, solv, viz):
     im0, _ = loader.load_image(0)
     _frame0 = validate_image(im0, common)
     remove_nose = utils.check_key_and_bool(config["data"], "remove_nose")
+    roi = {k: common[k] for k in ("xmin", "xmax", "ymin", "ymax")}
+
+    def prepare(i1):
+        """Host stage: frame IO, GT flow, event-window assembly
+        (``bos_event.py:144-182``).  Returns None for collapsed frames."""
+        if timer is not None:
+            with timer.section("prepare"):
+                return _prepare(i1)
+        return _prepare(i1)
+
+    def _prepare(i1):
+        i2 = i1 + eval_dt
+        im1, t1 = loader.load_image(i1)
+        im2, t2 = loader.load_image(i2)
+        frame1 = validate_image(im1, common)
+        frame2 = validate_image(im2, common)
+        if frame1.shape != cropped_shape or frame2.shape != cropped_shape:
+            logger.warning("Frame may be collapsed — i1=%s i2=%s", i1, i2)
+            return None
+        gt_flow = estimator.estimate(config["method"], _frame0, frame1,
+                                     frame2, config)
+
+        ind1 = loader.time_to_index(t1)
+        ind2 = loader.time_to_index(t2)
+        batch_for_gt = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+
+        # window rebalancing (``bos_event.py:165-182``)
+        if max_event_dt is not None and t2 - t1 > max_event_dt:
+            t2 = t1 + max_event_dt
+            ind1 = loader.time_to_index(t1)
+            ind2 = loader.time_to_index(t2)
+        if n_events is not None:
+            if ind2 - ind1 < n_events:
+                missing = n_events - (ind2 - ind1)
+                ind1 -= missing // 2
+                ind2 += missing // 2
+            elif ind2 - ind1 > n_events:
+                ind1 = ind2 - n_events
+        batch = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
+        if remove_nose:
+            from .ops.events import remove_event
+            from .types import events_from_ndarray
+
+            b = events_from_ndarray(batch)
+            batch = remove_event(b, 0, 120, 990, 1050).to_numpy()
+            bg = events_from_ndarray(batch_for_gt)
+            batch_for_gt = remove_event(bg, 0, 120, 990, 1050).to_numpy()
+        return dict(batch=batch, batch_for_gt=batch_for_gt, gt_flow=gt_flow,
+                    im1=im1, t1=t1, t2=t2)
+
+    def dispatch(work):
+        """Device stage: filter + enqueue the solve (non-blocking for
+        pipelined solvers)."""
+        if timer is not None:
+            with timer.section("preprocess"):
+                filtered, batch_time_scale = solv.preprocess(work["batch"])
+            with timer.section("estimate"):
+                handle = solv.estimate_async(
+                    filtered, work["gt_flow"], frame=work["im1"],
+                    background=im0, frame_time=work["t1"])
+        else:
+            filtered, batch_time_scale = solv.preprocess(work["batch"])
+            handle = solv.estimate_async(
+                filtered, work["gt_flow"], frame=work["im1"],
+                background=im0, frame_time=work["t1"])
+        work["filtered"] = filtered
+        work["batch_time_scale"] = batch_time_scale
+        return handle
+
+    def finalize(work, handle, i_frame):
+        """Host stage: fetch the flow, render, evaluate, record
+        (``bos_event.py:184-220``)."""
+        if timer is not None:
+            with timer.section("finalize"):
+                return _finalize(work, handle, i_frame)
+        return _finalize(work, handle, i_frame)
+
+    def _finalize(work, handle, i_frame):
+        estimation = handle.result()
+        gt_flow, filtered = work["gt_flow"], work["filtered"]
+        t1, t2 = work["t1"], work["t2"]
+        gt_time_scale = t2 - t1
+        batch_time_scale = work["batch_time_scale"]
+        scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
+
+        solv.visualize_original_sequential(work["batch_for_gt"], filtered)
+        solv.visualize_flows(estimation * scale, gt_flow)
+        solv.visualize_pred_sequential(filtered, estimation * scale)
+        solv.visualize_gt_sequential(filtered, gt_flow)
+
+        est_c = estimation[:, common["xmin"]:common["xmax"],
+                           common["ymin"]:common["ymax"]]
+        gt_c = gt_flow[:, common["xmin"]:common["xmax"],
+                       common["ymin"]:common["ymax"]]
+        err_nomask = solv.calculate_flow_error(est_c, gt_c)
+        solv.save_flow_error_as_text(i_frame, err_nomask,
+                                     "flow_error_per_frame_without_mask.txt")
+        err_mask = solv.calculate_flow_error(est_c, gt_c, events=filtered,
+                                             roi=roi)
+        solv.save_flow_error_as_text(i_frame, err_mask,
+                                     "flow_error_per_frame_with_mask.txt")
+        if "fwl" in eval_config.get("metrics", []):
+            # Flow Warp Loss (Stoffregen 2020): the reference declares
+            # this metric but its implementation is dead
+            # (``base.py:319-340``); it works here.
+            fwl = solv.calculate_fwl(estimation * scale, filtered)
+            solv.save_flow_error_as_text(i_frame, fwl, "fwl_per_frame.txt")
+        solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
+                                     "timestamps_per_frame.txt")
+        if store is not None:
+            store.record(i_frame, flow=estimation, t1=float(t1),
+                         t2=float(t2), **err_nomask)
 
     i_frame = 0
     for t_start, t_end in eval_config["time_list"]:
         ind_start = loader.time_to_image_index(t_start) + 1
         ind_end = loader.time_to_image_index(t_end) - eval_dt
         logger.info("Evaluating frames %d..%d", ind_start, ind_end)
-        for i1 in range(ind_start, ind_end):
-            if store is not None and i_frame in store:
-                logger.info("Frame %d already computed — skipping (resume).",
-                            i_frame)
+        if pipeline:
+            # one-deep software pipeline: prepare(i+1) ‖ solve(i) ‖ finalize(i−1)
+            in_flight = None  # (work, handle, i_frame)
+            for work in _prefetched(range(ind_start, ind_end), prepare):
+                if work is None:
+                    continue
+                if store is not None and i_frame in store:
+                    logger.info("Frame %d already computed — skipping "
+                                "(resume).", i_frame)
+                    i_frame += 1
+                    continue
+                handle = dispatch(work)
+                if in_flight is not None:
+                    finalize(*in_flight)
+                in_flight = (work, handle, i_frame)
                 i_frame += 1
-                continue
-            i2 = i1 + eval_dt
-            im1, t1 = loader.load_image(i1)
-            im2, t2 = loader.load_image(i2)
-            frame1 = validate_image(im1, common)
-            frame2 = validate_image(im2, common)
-            if frame1.shape != cropped_shape or frame2.shape != cropped_shape:
-                logger.warning("Frame may be collapsed — i1=%s i2=%s", i1, i2)
-                continue
-            gt_flow = estimator.estimate(config["method"], _frame0, frame1,
-                                         frame2, config)
-
-            ind1 = loader.time_to_index(t1)
-            ind2 = loader.time_to_index(t2)
-            batch_for_gt = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
-
-            # window rebalancing (``bos_event.py:165-182``)
-            if max_event_dt is not None and t2 - t1 > max_event_dt:
-                t2 = t1 + max_event_dt
-                ind1 = loader.time_to_index(t1)
-                ind2 = loader.time_to_index(t2)
-            if n_events is not None:
-                if ind2 - ind1 < n_events:
-                    missing = n_events - (ind2 - ind1)
-                    ind1 -= missing // 2
-                    ind2 += missing // 2
-                elif ind2 - ind1 > n_events:
-                    ind1 = ind2 - n_events
-            batch = loader.load_event(max(ind1, 0), min(ind2, len(loader)))
-            if remove_nose:
-                from .ops.events import remove_event
-                from .types import events_from_ndarray
-
-                b = events_from_ndarray(batch)
-                batch = remove_event(b, 0, 120, 990, 1050).to_numpy()
-                bg = events_from_ndarray(batch_for_gt)
-                batch_for_gt = remove_event(bg, 0, 120, 990, 1050).to_numpy()
-
-            gt_time_scale = t2 - t1
-            if timer is not None:
-                with timer.section("preprocess"):
-                    filtered, batch_time_scale = solv.preprocess(batch)
-                with timer.section("estimate"):
-                    estimation = solv.estimate(filtered, gt_flow, frame=im1,
-                                               background=im0, frame_time=t1)
-            else:
-                filtered, batch_time_scale = solv.preprocess(batch)
-                estimation = solv.estimate(filtered, gt_flow, frame=im1,
-                                           background=im0, frame_time=t1)
-            scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
-
-            solv.visualize_original_sequential(batch_for_gt, filtered)
-            solv.visualize_flows(estimation * scale, gt_flow)
-            solv.visualize_pred_sequential(filtered, estimation * scale)
-            solv.visualize_gt_sequential(filtered, gt_flow)
-
-            roi = {k: common[k] for k in ("xmin", "xmax", "ymin", "ymax")}
-            est_c = estimation[:, common["xmin"]:common["xmax"],
-                               common["ymin"]:common["ymax"]]
-            gt_c = gt_flow[:, common["xmin"]:common["xmax"],
-                           common["ymin"]:common["ymax"]]
-            err_nomask = solv.calculate_flow_error(est_c, gt_c)
-            solv.save_flow_error_as_text(i_frame, err_nomask,
-                                         "flow_error_per_frame_without_mask.txt")
-            err_mask = solv.calculate_flow_error(est_c, gt_c, events=filtered,
-                                                 roi=roi)
-            solv.save_flow_error_as_text(i_frame, err_mask,
-                                         "flow_error_per_frame_with_mask.txt")
-            if "fwl" in eval_config.get("metrics", []):
-                # Flow Warp Loss (Stoffregen 2020): the reference declares
-                # this metric but its implementation is dead
-                # (``base.py:319-340``); it works here.
-                fwl = solv.calculate_fwl(estimation * scale, filtered)
-                solv.save_flow_error_as_text(i_frame, fwl,
-                                             "fwl_per_frame.txt")
-            solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
-                                         "timestamps_per_frame.txt")
-            if store is not None:
-                store.record(i_frame, flow=estimation, t1=float(t1),
-                             t2=float(t2), **err_nomask)
-            i_frame += 1
+            if in_flight is not None:
+                finalize(*in_flight)
+        else:
+            for i1 in range(ind_start, ind_end):
+                if store is not None and i_frame in store:
+                    logger.info("Frame %d already computed — skipping "
+                                "(resume).", i_frame)
+                    i_frame += 1
+                    continue
+                work = prepare(i1)
+                if work is None:
+                    continue
+                handle = dispatch(work)
+                finalize(work, handle, i_frame)
+                i_frame += 1
     if timer is not None:
         logger.info("Per-section host timings:\n%s", timer.report())
 

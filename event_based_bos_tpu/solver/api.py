@@ -85,6 +85,30 @@ def _generative_spec(orig_image_shape, solver_config, dtype) -> GenerativeSpec:
     )
 
 
+class EstimationHandle:
+    """Deferred result of :meth:`SolverBase.estimate_async`.
+
+    The device work is already dispatched (JAX dispatch is asynchronous);
+    :meth:`result` performs the host-side finalization — the blocking
+    device→host fetch plus visualization/bookkeeping — exactly once.  The
+    pipelined evaluation loop (``cli.evaluate_per_frames`` with
+    ``pipeline: true``) uses this to overlap the device solve of frame *i*
+    with the host-side preparation of frame *i+1*.
+    """
+
+    def __init__(self, finalize_fn):
+        self._fn = finalize_fn
+        self._result = None
+        self._done = False
+
+    def result(self) -> np.ndarray:
+        if not self._done:
+            self._result = self._fn()
+            self._fn = None
+            self._done = True
+        return self._result
+
+
 class SolverBase:
     """Public API parity with reference ``SolverBase`` (``base.py:54-378``)."""
 
@@ -168,6 +192,17 @@ class SolverBase:
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:
         raise NotImplementedError
+
+    def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
+        """Dispatch the per-frame solve; defer the host-side finalization.
+
+        Base implementation is synchronous (solvers whose estimate is not
+        split into dispatch/finalize stages still work under the pipelined
+        loop — they just don't overlap).  :class:`PatchEkltPyramid2`
+        overrides this with a true async dispatch.
+        """
+        res = self.estimate(events, *args, **kwargs)
+        return EstimationHandle(lambda: res)
 
     # -- evaluation -----------------------------------------------------------------
     def calculate_flow_error(self, pred_disp, gt_flow, timescale: float = 1.0,
@@ -526,7 +561,12 @@ class PatchEkltPyramid2(SolverBase):
                 functools.partial(estimate_frame, spec=self.spec))
         return self._jitted[capacity]
 
-    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+    def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
+        """Dispatch the pyramid solve; all device work (including the
+        warm-start feedback for the *next* frame) is enqueued before this
+        returns, so the caller can prepare frame *i+1* host-side while the
+        chip works.  Host-only finalization (flow fetch, loss-history /
+        evolution rendering, frame counter) runs in the returned handle."""
         ev = self._to_events(events)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
         prev = self.previous_frame_best_estimation
@@ -537,22 +577,30 @@ class PatchEkltPyramid2(SolverBase):
         if self.slv_config.get("warm_start"):
             # feed the coarse-from-fine feedback into the next frame's init
             # (the mechanism the reference defines but leaves disconnected,
-            # ``patch_eklt_pyramid2.py:186-190``)
+            # ``patch_eklt_pyramid2.py:186-190``).  Pure device compute —
+            # dispatched now so the next frame never waits on this host-side.
             from .pyramid import update_coarse_from_fine
 
             self.set_previous_frame_best_estimation(
                 update_coarse_from_fine(aux["params_per_scale"], self.spec))
-        if self.visualizer is not None:
-            hist = {f"scale{i}": np.asarray(h)
-                    for i, h in enumerate(aux["loss_history"])}
-            self.visualizer.visualize_scipy_history(hist)
-            if "params_history" in aux:
-                from .evolution import render_pyramid_evolution
 
-                render_pyramid_evolution(self.visualizer, frame, ev, aux,
-                                         self.spec, self.iter_cnt)
-        self.iter_cnt += 1
-        return self._orient_flow(np.asarray(flow))
+        def finalize() -> np.ndarray:
+            if self.visualizer is not None:
+                hist = {f"scale{i}": np.asarray(h)
+                        for i, h in enumerate(aux["loss_history"])}
+                self.visualizer.visualize_scipy_history(hist)
+                if "params_history" in aux:
+                    from .evolution import render_pyramid_evolution
+
+                    render_pyramid_evolution(self.visualizer, frame, ev, aux,
+                                             self.spec, self.iter_cnt)
+            self.iter_cnt += 1
+            return self._orient_flow(np.asarray(flow))
+
+        return EstimationHandle(finalize)
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        return self.estimate_async(events, *args, **kwargs).result()
 
 
 class ContrastMaximization(SolverBase):

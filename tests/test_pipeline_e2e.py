@@ -89,6 +89,72 @@ def test_evaluate_per_frames_end_to_end(tiny_config):
                    for f in os.listdir(out_dir)), prefix
 
 
+def test_pipelined_loop_matches_synchronous(tiny_config, tmp_path):
+    """``pipeline: true`` overlaps host prep / device solve / finalization
+    across frames; the outputs must be identical to the synchronous loop
+    (same jitted solve, same RNG-key order, frame-ordered finalization)."""
+    cfg_path, out_dir = tiny_config
+    rc = cli.main(["--config_file", cfg_path, "--eval", "--log", "warning"])
+    assert rc == 0
+
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["pipeline"] = True
+    out_pipe = str(tmp_path / "out_pipe")
+    cfg["output_dir"] = out_pipe
+    p = tmp_path / "pipe.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+
+    for fname in ("flow_error_per_frame_without_mask.txt",
+                  "flow_error_per_frame_with_mask.txt",
+                  "timestamps_per_frame.txt"):
+        sync_txt = open(os.path.join(out_dir, fname)).read()
+        pipe_txt = open(os.path.join(out_pipe, fname)).read()
+        assert sync_txt == pipe_txt, fname
+    sync_flows = sorted(f for f in os.listdir(out_dir)
+                        if f.startswith("pred_flow") and f.endswith(".npy"))
+    pipe_flows = sorted(f for f in os.listdir(out_pipe)
+                        if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert sync_flows == pipe_flows and sync_flows
+    for f in sync_flows:
+        np.testing.assert_array_equal(np.load(os.path.join(out_dir, f)),
+                                      np.load(os.path.join(out_pipe, f)))
+
+
+def test_estimate_async_defers_finalization(tiny_config):
+    """estimate_async returns before the host-side finalization: the frame
+    counter only advances when the handle is resolved."""
+    import jax.numpy as jnp
+
+    from event_based_bos_tpu.data.synthetic import (SyntheticBosConfig,
+                                                    generate_sequence)
+    from event_based_bos_tpu.solver import collections as solver_collections
+    from event_based_bos_tpu.utils.config import propagate_config
+
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    propagate_config(cfg)  # in-place
+    h, w = cfg["data"]["height"], cfg["data"]["width"]
+    solv = solver_collections[cfg["solver"]["method"]](
+        (h, w),
+        (cfg["data"]["crop_height"], cfg["data"]["crop_width"]),
+        solver_config=cfg["solver"], visualize_module=None)
+    seq = generate_sequence(SyntheticBosConfig(
+        height=h, width=w, duration=0.1, fps=30, events_per_frame=4000,
+        seed=0))
+    ev, _period = solv.preprocess(seq["events"])
+    before = solv.iter_cnt
+    handle = solv.estimate_async(ev, frame=seq["frames"][1])
+    assert solv.iter_cnt == before  # finalization deferred
+    flow = handle.result()
+    assert solv.iter_cnt == before + 1
+    assert flow.shape == (2, h, w) and np.isfinite(flow).all()
+    # idempotent: second resolve returns the same array, no double count
+    assert handle.result() is flow
+    assert solv.iter_cnt == before + 1
+
+
 def test_sequential_mode(tiny_config):
     cfg_path, out_dir = tiny_config
     rc = cli.main(["--config_file", cfg_path, "--log", "warning"])

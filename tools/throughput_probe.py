@@ -1,0 +1,121 @@
+"""Sequence-throughput probe: synchronous vs pipelined evaluation loop.
+
+Runs the full hot_plate1-scale evaluation pipeline (synthetic BOS recording,
+Farnebäck GT, pyramid solve, visualizations, error texts) end-to-end through
+``cli.evaluate_per_frames`` twice — ``pipeline: false`` and ``pipeline: true``
+— and reports wall-clock seconds per frame for each.  The pipelined loop
+overlaps host preparation (frame IO + Farnebäck) of frame *i+1* with the
+device solve of frame *i* and the host finalization (PNG rendering, error
+texts) of frame *i−1*.
+
+Usage:  python tools/throughput_probe.py [n_frames] [--small]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def build_config(out_dir: str, n_frames: int, small: bool) -> dict:
+    if small:
+        h, w, epf, n_iter, coarsest = 96, 128, 8000, 60, 16
+        ymin, ymax = 16, 112
+    else:
+        h, w, epf, n_iter, coarsest = 720, 1280, 480_000, 600, 64
+        ymin, ymax = 320, 960
+    duration = (n_frames + 2) / 30.0
+    return {
+        "data": {"root": "", "dataset": "SYNTHETIC", "sequence": "plume1",
+                 "height": h, "width": w, "duration": duration, "fps": 30,
+                 "events_per_frame": epf, "max_displacement": 3.0,
+                 "warp": False},
+        "output_dir": out_dir,
+        "profile": True,
+        "evaluation": {"metrics": ["flow"],
+                       "time_list": [[0.03, duration - 1e-6]]},
+        "common_params": {"n_frames": 1, "xmin": 0, "xmax": h,
+                          "ymin": ymin, "ymax": ymax},
+        "solver": {
+            "filter": {"filters": None, "parameters": {}},
+            "method": "patch_eklt_pyramid2",
+            "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0, "image_gradient": 0.5,
+                                 "flow_norm_pxy": 0.1},
+            "optimizer": {"method": "Adam", "n_iter": n_iter},
+            "generative_ml": {
+                "weight_loss_by_event_hist": False, "weight_sigma": 5,
+                "weight_loss_by_inverse_event_hist": True,
+                "optimize_warp": True, "iwe_sigma": 2,
+                "viz_diff_scale": [-0.25, 0.25], "no_polarity": False,
+                "model_image": "current", "use_log_intensity": False,
+                "poisson_model": True,
+            },
+            "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                           "do_event_thresholding": False, "event_thres": 8,
+                           "coarsest_patch_size": coarsest,
+                           "finest_patch_size": 8},
+        },
+        "method": "opencv_flow",
+        "estimation_method": "solver",
+        "params_opencv_flow": {"pyr_scale": 0.5, "levels": 3, "winsize": 10,
+                               "iterations": 2, "poly_n": 5,
+                               "poly_sigma": 1.2, "flags": 0},
+    }
+
+
+def run_once(pipeline: bool, n_frames: int, small: bool) -> dict:
+    import yaml
+
+    from event_based_bos_tpu import cli
+
+    out = tempfile.mkdtemp(prefix=f"thr_{'pipe' if pipeline else 'sync'}_")
+    cfg = build_config(out, n_frames, small)
+    cfg["pipeline"] = pipeline
+    cfg_path = os.path.join(out, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    t0 = time.perf_counter()
+    rc = cli.main(["--config_file", cfg_path, "--eval", "--log", "warning"])
+    wall = time.perf_counter() - t0
+    assert rc == 0
+    n_done = sum(1 for line in open(os.path.join(
+        out, "flow_error_per_frame_without_mask.txt")))
+    shutil.rmtree(out, ignore_errors=True)
+    return {"pipeline": pipeline, "wall_s": wall, "frames": n_done,
+            "s_per_frame": wall / max(n_done, 1)}
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
+    small = "--small" in sys.argv
+    # warmup run populates the persistent compile cache so both timed runs
+    # see warm compiles (first-program penalty documented in
+    # docs/performance.md)
+    run_once(False, 2, small)
+    sync = run_once(False, n_frames, small)
+    pipe = run_once(True, n_frames, small)
+    speedup = sync["s_per_frame"] / pipe["s_per_frame"]
+    print(json.dumps({"sync_s_per_frame": round(sync["s_per_frame"], 3),
+                      "pipelined_s_per_frame": round(pipe["s_per_frame"], 3),
+                      "frames": sync["frames"],
+                      "pipeline_speedup": round(speedup, 3)}))
+    # axon client threads otherwise hang the caller (see bench.py)
+    sys.stdout.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
