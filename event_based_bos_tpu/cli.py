@@ -382,8 +382,20 @@ def main(argv=None):
 
     orig_shape = (data_config["height"], data_config["width"])
     crop_shape = (data_config["crop_height"], data_config["crop_width"])
-    viz = visualizer.Visualizer(orig_shape, save=True, show=False,
-                                save_dir=save_dir)
+    # ``visualize: false`` = serving mode — skip every per-frame image/video
+    # artifact and produce only flow arrays + error texts (the host-side PNG
+    # rendering dominates end-to-end throughput once the solve itself is
+    # milliseconds; see docs/performance.md).  Only the solver evaluation
+    # loop supports it; the other run modes exist to produce visuals.
+    serving = not config.get("visualize", True)
+    if serving and not (args.eval
+                        and config.get("estimation_method") == "solver"):
+        logger.warning("visualize: false only applies to the solver "
+                       "evaluation loop — ignoring.")
+        serving = False
+    viz = (None if serving else
+           visualizer.Visualizer(orig_shape, save=True, show=False,
+                                 save_dir=save_dir))
 
     method_name = config["solver"]["method"]
     config["solver"].setdefault("flow_convention",
@@ -391,6 +403,8 @@ def main(argv=None):
     solv = solver.collections[method_name](
         orig_shape, crop_shape, calibration_parameter=loader.load_calib(),
         solver_config=config["solver"], visualize_module=viz)
+
+    solv.output_dir = save_dir  # result-text destination when viz is off
 
     logger.info("Start BOS estimation.")
     if args.eval:
@@ -407,21 +421,22 @@ def main(argv=None):
     else:
         estimate_sequential(config, loader, solv)
 
-    for v in solv.sequential_video_list:
-        logger.info("Make video %s…", v)
-        viz.visualize_sequential_images_as_video(v)
-    try:
-        viz.concat_videos(["original", "pred_flow", "gt_flow"],
-                          "flow_comparison")
-        viz.concat_videos(["original", "pred_masked", "gt_masked"],
-                          "flow_comparison_masked")
-    except Exception as e:  # comparison videos are best-effort
-        logger.warning("Video concat skipped: %s", e)
-    try:
-        viz.concat_videos(["original", "original_filter"],
-                          "video_filter_effect")
-    except Exception as e:
-        logger.warning("Video concat skipped: %s", e)
+    if viz is not None:
+        for v in solv.sequential_video_list:
+            logger.info("Make video %s…", v)
+            viz.visualize_sequential_images_as_video(v)
+        try:
+            viz.concat_videos(["original", "pred_flow", "gt_flow"],
+                              "flow_comparison")
+            viz.concat_videos(["original", "pred_masked", "gt_masked"],
+                              "flow_comparison_masked")
+        except Exception as e:  # comparison videos are best-effort
+            logger.warning("Video concat skipped: %s", e)
+        try:
+            viz.concat_videos(["original", "original_filter"],
+                              "video_filter_effect")
+        except Exception as e:
+            logger.warning("Video concat skipped: %s", e)
 
     if args.eval:
         for fname in solv.evaluation_text_list:

@@ -20,8 +20,6 @@ import logging
 
 import numpy as np
 
-from .ops.image_warp import pad_to_same_resolution
-
 logger = logging.getLogger(__name__)
 
 SUPPORTED_METHODS = ("opencv_flow", "opencv_flow_two_steps", "openpiv")
@@ -72,26 +70,27 @@ class FrameFlowEstimator:
             self.visualizer.visualize_optical_flow(f[..., 0], f[..., 1],
                                                    file_prefix="frame_flow_concurrent")
         crop_flow = f.transpose(2, 0, 1)
-        pad = np.asarray(pad_to_same_resolution(crop_flow, params_opencv_flow, 0))
+        # GT tooling stays on host (SURVEY §7): a device round-trip for a
+        # trivial zero-pad costs an upload + a 7 MB fetch per frame over the
+        # remote-TPU tunnel.
+        pad = np.pad(crop_flow,
+                     [(0, 0),
+                      (params_opencv_flow["pad_x0"], params_opencv_flow["pad_x1"]),
+                      (params_opencv_flow["pad_y0"], params_opencv_flow["pad_y1"])])
         return self._orient(pad)
 
     def opencv_farneback_two_step(self, frame0, frame1, frame2,
                                   params_opencv_flow) -> np.ndarray:
         """Background-anchored two-step flow via Poisson integrals
         (``frame_flow_estimator.py:45-67``)."""
-        import jax.numpy as jnp
-
-        from .ops.image_warp import standardize_image_center
-        from .ops.poisson import poisson_reconstruct
+        from .visualizer import _poisson_view
 
         f01 = bos_optical_flow(frame0, frame1, params_opencv_flow).transpose(2, 0, 1)
         f02 = bos_optical_flow(frame0, frame2, params_opencv_flow).transpose(2, 0, 1)
 
         def integral(f):
-            p = poisson_reconstruct(jnp.asarray(f[1], jnp.float32),
-                                    jnp.asarray(f[0], jnp.float32),
-                                    jnp.zeros(f[0].shape, jnp.float32))
-            return np.asarray(standardize_image_center(np.asarray(p))).astype(np.uint8)
+            # one jitted device program (poisson DST + standardize → uint8)
+            return np.asarray(_poisson_view(f[1], f[0]))
 
         p01 = integral(f01)
         p02 = integral(f02)

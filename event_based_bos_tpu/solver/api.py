@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import functools
 import logging
-import math
 import os
 from typing import List, Optional
 
@@ -39,8 +38,49 @@ from .pyramid import PyramidSpec, estimate_frame, roi_mask
 logger = logging.getLogger(__name__)
 
 
-def _bucket_capacity(n: int, minimum: int = 4096) -> int:
-    return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
+from ..types import bucket_capacity as _bucket_capacity
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_clipped_iwe(image_shape):
+    """Jitted IWE render → inverted uint8 (the eager per-primitive dispatch
+    of this many-op program costs seconds per frame over the remote-TPU
+    tunnel; jitted it is one dispatch and a small uint8 fetch)."""
+
+    def f(ev: Events, max_scale: jax.Array) -> jax.Array:
+        im = create_image_from_events(ev, image_shape, sigma=0)
+        # match the host formula bit-for-bit: clip → truncating uint8 cast
+        # → inversion (255 − x)
+        return 255 - jnp.clip(max_scale * im, 0, 255).astype(jnp.uint8)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_eventmask(image_shape):
+    return jax.jit(lambda ev: create_eventmask(ev, image_shape))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwl(image_shape, normalize_t: bool):
+    def f(ev: Events, flow: jax.Array) -> jax.Array:
+        iwe_orig = create_image_from_events(ev, image_shape, sigma=1)
+        warped = warp_event(ev, flow, "dense-flow", direction="middle",
+                            normalize_t=normalize_t)
+        iwe = create_image_from_events(warped, image_shape, sigma=1)
+        return normalized_image_variance({"orig_iwe": iwe_orig, "iwe": iwe})
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_flow_error(masked: bool):
+    def f(gt, pred, mask):
+        return calculate_flow_error(gt, pred, event_mask=mask)
+
+    if masked:
+        return jax.jit(f)
+    return jax.jit(lambda gt, pred: calculate_flow_error(gt, pred))
 
 
 def _evolution_stride(solver_config, n_iter: int) -> int:
@@ -205,20 +245,31 @@ class SolverBase:
         return EstimationHandle(lambda: res)
 
     # -- evaluation -----------------------------------------------------------------
+    def _eventmask(self, ev: Events) -> jax.Array:
+        """Jitted ``[1, H, W]`` event mask, memoized per Events batch (the
+        same filtered window is masked for pred/gt overlays and the masked
+        error metric — one device program instead of three)."""
+        memo = getattr(self, "_eventmask_memo", None)
+        if memo is not None and memo[0] is ev.x:
+            return memo[1]
+        mask = _jit_eventmask(self.orig_image_shape)(ev)
+        self._eventmask_memo = (ev.x, mask)
+        return mask
+
     def calculate_flow_error(self, pred_disp, gt_flow, timescale: float = 1.0,
                              events=None, roi: Optional[dict] = None) -> dict:
         """Masked EPE/NPE/AE (``base.py:289-317``)."""
         if events is not None:
             ev = self._to_events(events)
-            mask = create_eventmask(ev, self.orig_image_shape)
+            mask = self._eventmask(ev)
             mask = mask[:, roi["xmin"]:roi["xmax"], roi["ymin"]:roi["ymax"]]
-            mask = mask[None]
+            err = _jit_flow_error(True)(jnp.asarray(gt_flow)[None],
+                                        jnp.asarray(pred_disp)[None],
+                                        mask[None])
         else:
-            mask = None
-        err = calculate_flow_error(jnp.asarray(gt_flow)[None],
-                                   jnp.asarray(pred_disp)[None],
-                                   event_mask=mask)
-        out = {k: float(v) for k, v in err.items()}
+            err = _jit_flow_error(False)(jnp.asarray(gt_flow)[None],
+                                         jnp.asarray(pred_disp)[None])
+        out = {k: float(v) for k, v in jax.device_get(err).items()}
         logger.info("flow_error = %s for time period %s sec.", out, timescale)
         return out
 
@@ -229,12 +280,8 @@ class SolverBase:
         exist (``base.py:319-340``); this one works.
         """
         ev = self._to_events(events)
-        iwe_orig = create_image_from_events(ev, self.orig_image_shape, sigma=1)
-        warped = warp_event(ev, jnp.asarray(flow, self.dtype), "dense-flow",
-                            direction="middle",
-                            normalize_t=self.normalize_t_in_batch)
-        iwe = create_image_from_events(warped, self.orig_image_shape, sigma=1)
-        fwl = normalized_image_variance({"orig_iwe": iwe_orig, "iwe": iwe})
+        fwl = _jit_fwl(self.orig_image_shape, bool(self.normalize_t_in_batch))(
+            ev, jnp.asarray(flow, self.dtype))
         return {"FWL": float(fwl)}
 
     def save_flow_error_as_text(self, nth_frame: int, flow_error_dict: dict,
@@ -242,6 +289,8 @@ class SolverBase:
         """Append-only per-frame results (``base.py:342-353``)."""
         if self.visualizer is not None:
             path = os.path.join(self.visualizer.save_dir, fname)
+        elif getattr(self, "output_dir", None):
+            path = os.path.join(self.output_dir, fname)
         else:
             path = fname
         with open(path, "a") as f:
@@ -266,9 +315,8 @@ class SolverBase:
     def create_clipped_image(self, events, max_scale=50):
         """Inverted clipped IWE for viewing (``base.py:154-174``)."""
         ev = self._to_events(events)
-        im = np.asarray(create_image_from_events(ev, self.orig_image_shape,
-                                                 sigma=0))
-        clipped = 255 - np.clip(max_scale * im, 0, 255).astype(np.uint8)
+        clipped = np.asarray(_jit_clipped_iwe(self.orig_image_shape)(
+            ev, jnp.asarray(float(max_scale), jnp.float32)))
         if self.padding > 0:
             clipped = clipped[self.padding:-self.padding,
                               self.padding:-self.padding]
@@ -302,10 +350,10 @@ class SolverBase:
         self.visualizer.visualize_poisson_integration(
             flow, file_prefix="pred_flow_poisson")
         self._register_video("pred_flow_poisson")
-        ev = events.to_numpy() if isinstance(events, Events) else np.asarray(events)
+        mask = np.asarray(self._eventmask(self._to_events(events)))
         self.visualizer.visualize_optical_flow_on_event_mask(
-            flow, ev, file_prefix="pred_masked", mask_color="black",
-            mask_morph=True)
+            flow, None, file_prefix="pred_masked", mask_color="black",
+            mask_morph=True, mask=mask)
         self._register_video("pred_masked")
 
     def visualize_gt_sequential(self, events, gt_flow):
@@ -320,10 +368,10 @@ class SolverBase:
         self.visualizer.visualize_poisson_integration(
             gt_flow, file_prefix="gt_flow_poisson")
         self._register_video("gt_flow_poisson")
-        ev = events.to_numpy() if isinstance(events, Events) else np.asarray(events)
+        mask = np.asarray(self._eventmask(self._to_events(events)))
         self.visualizer.visualize_optical_flow_on_event_mask(
-            gt_flow, ev, file_prefix="gt_masked", mask_color="black",
-            mask_morph=True)
+            gt_flow, None, file_prefix="gt_masked", mask_color="black",
+            mask_morph=True, mask=mask)
         self._register_video("gt_masked")
 
     def visualize_flows(self, pred_flow, gt_flow):

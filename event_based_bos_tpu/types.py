@@ -93,6 +93,18 @@ def events_from_arrays(
     return ev
 
 
+def bucket_capacity(n: int, minimum: int = 4096) -> int:
+    """Smallest power-of-two capacity ≥ n (≥ minimum).
+
+    Padding every event window to a power-of-two bucket bounds the number of
+    distinct shapes — and therefore jit retraces — the per-frame programs
+    ever see (a handful per run instead of one per window).
+    """
+    import math
+
+    return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
+
+
 def events_from_ndarray(
     events: np.ndarray, capacity: Optional[int] = None, dtype=jnp.float32
 ) -> Events:

@@ -24,6 +24,30 @@ import numpy as np
 from .ops.image_warp import standardize_image_center
 from .utils.video import concat_videos_horizontally, write_video
 
+
+_POISSON_VIEW_JIT = None
+
+
+def _poisson_view(grady, gradx):
+    """Jitted Poisson-integration view: one device program + a uint8 fetch
+    (the eager op-by-op dispatch costs seconds per call over the remote-TPU
+    tunnel).  Output ∈ [1, 255] by construction, so the uint8 cast is safe
+    on device."""
+    global _POISSON_VIEW_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _POISSON_VIEW_JIT is None:
+        from .ops.poisson import poisson_reconstruct
+
+        def f(gy, gx):
+            p = poisson_reconstruct(gy, gx, jnp.zeros(gy.shape, jnp.float32))
+            return standardize_image_center(p).astype(jnp.uint8)
+
+        _POISSON_VIEW_JIT = jax.jit(f)
+    return _POISSON_VIEW_JIT(jnp.asarray(grady, jnp.float32),
+                             jnp.asarray(gradx, jnp.float32))
+
 logger = logging.getLogger(__name__)
 
 
@@ -192,19 +216,27 @@ class Visualizer:
     def visualize_optical_flow_on_event_mask(self, flow, events, file_prefix=None,
                                              ord=0.5, max_color_on_mask=True,
                                              mask_color="white",
-                                             mask_morph=False):
-        """Flow colorized only on event pixels (``visualizer.py:270-331``)."""
+                                             mask_morph=False, mask=None):
+        """Flow colorized only on event pixels (``visualizer.py:270-331``).
+
+        ``mask`` optionally supplies a precomputed ``[1, H, W]`` event mask
+        (the solver facade memoizes one jitted mask per filtered window);
+        otherwise it is computed from ``events`` here.
+        """
         import cv2
         from PIL import Image
-
-        from .ops.iwe import create_eventmask
-        from .types import events_from_ndarray
 
         show, save = self._show, self._save
         self._show = self._save = False
         flow = _to_numpy(flow)
-        ev = events_from_ndarray(_to_numpy(events))
-        mask = np.asarray(create_eventmask(ev, self._image_size))
+        if mask is None:
+            from .ops.iwe import create_eventmask
+            from .types import bucket_capacity, events_from_ndarray
+
+            arr = _to_numpy(events)
+            ev = events_from_ndarray(arr, capacity=bucket_capacity(len(arr)))
+            mask = create_eventmask(ev, self._image_size)
+        mask = np.asarray(mask)
         if mask_morph:
             element = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3), (1, 1))
             mask = cv2.morphologyEx(mask.astype(np.uint8)[0], cv2.MORPH_CLOSE,
@@ -224,15 +256,8 @@ class Visualizer:
     # -- poisson view ------------------------------------------------------------
     def visualize_poisson_integration(self, flow, file_prefix=None):
         """(``visualizer.py:419-434``)."""
-        import jax.numpy as jnp
-
-        from .ops.poisson import poisson_reconstruct
-
         flow = _to_numpy(flow)
-        poisson = np.asarray(poisson_reconstruct(
-            jnp.asarray(flow[1], jnp.float32), jnp.asarray(flow[0], jnp.float32),
-            jnp.zeros(flow[0].shape, jnp.float32)))
-        centered = np.asarray(standardize_image_center(poisson)).astype(np.uint8)
+        centered = np.asarray(_poisson_view(flow[1], flow[0]))
         return self.visualize_image(centered, file_prefix=file_prefix)
 
     # -- events -------------------------------------------------------------------

@@ -155,6 +155,30 @@ def test_estimate_async_defers_finalization(tiny_config):
     assert solv.iter_cnt == before + 1
 
 
+def test_serving_mode_no_visuals(tiny_config, tmp_path):
+    """``visualize: false`` skips every image/video artifact but still
+    produces identical error texts (serving mode)."""
+    cfg_path, out_dir = tiny_config
+    rc = cli.main(["--config_file", cfg_path, "--eval", "--log", "warning"])
+    assert rc == 0
+
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["visualize"] = False
+    out_srv = str(tmp_path / "out_serve")
+    cfg["output_dir"] = out_srv
+    p = tmp_path / "serve.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+
+    files = os.listdir(out_srv)
+    assert not any(f.endswith((".png", ".npy", ".mp4")) for f in files), files
+    for fname in ("flow_error_per_frame_without_mask.txt",
+                  "flow_error_per_frame_with_mask.txt"):
+        assert (open(os.path.join(out_srv, fname)).read()
+                == open(os.path.join(out_dir, fname)).read()), fname
+
+
 def test_sequential_mode(tiny_config):
     cfg_path, out_dir = tiny_config
     rc = cli.main(["--config_file", cfg_path, "--log", "warning"])

@@ -75,14 +75,17 @@ def build_config(out_dir: str, n_frames: int, small: bool) -> dict:
     }
 
 
-def run_once(pipeline: bool, n_frames: int, small: bool) -> dict:
+def run_once(pipeline: bool, n_frames: int, small: bool,
+             serve: bool = False) -> dict:
     import yaml
 
     from event_based_bos_tpu import cli
 
     out = tempfile.mkdtemp(prefix=f"thr_{'pipe' if pipeline else 'sync'}_")
-    cfg = build_config(out, n_frames, small)
+    cfg = build_config(os.path.join(out, "run"), n_frames, small)
     cfg["pipeline"] = pipeline
+    if serve:
+        cfg["visualize"] = False
     cfg_path = os.path.join(out, "cfg.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -92,7 +95,7 @@ def run_once(pipeline: bool, n_frames: int, small: bool) -> dict:
     wall = time.perf_counter() - t0
     assert rc == 0
     n_done = sum(1 for line in open(os.path.join(
-        out, "flow_error_per_frame_without_mask.txt")))
+        out, "run", "flow_error_per_frame_without_mask.txt")))
     shutil.rmtree(out, ignore_errors=True)
     return {"pipeline": pipeline, "wall_s": wall, "frames": n_done,
             "s_per_frame": wall / max(n_done, 1)}
@@ -107,9 +110,11 @@ def main():
     run_once(False, 2, small)
     sync = run_once(False, n_frames, small)
     pipe = run_once(True, n_frames, small)
+    serve = run_once(True, n_frames, small, serve=True)
     speedup = sync["s_per_frame"] / pipe["s_per_frame"]
     print(json.dumps({"sync_s_per_frame": round(sync["s_per_frame"], 3),
                       "pipelined_s_per_frame": round(pipe["s_per_frame"], 3),
+                      "serving_s_per_frame": round(serve["s_per_frame"], 3),
                       "frames": sync["frames"],
                       "pipeline_speedup": round(speedup, 3)}))
     # axon client threads otherwise hang the caller (see bench.py)
