@@ -20,6 +20,7 @@ Run: ``python -m event_based_bos_tpu.cli --config_file configs/x.yaml --eval``
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 import numpy as np
@@ -73,8 +74,17 @@ def evaluate_per_frames(config, loader, solv, viz):
       finalization (visualizations, error texts) of frame *i* runs while
       frame *i+1*'s solve is in flight (JAX dispatch is asynchronous).
       Outputs are identical to the synchronous loop — same jitted solve,
-      same RNG-key order, frame-ordered finalization.
+      same RNG-key order, frame-ordered finalization.  (With ``profile``,
+      the solve wait is attributed to ``finalize`` in pipelined mode —
+      that is the point of the overlap; in synchronous mode it stays under
+      ``estimate``.)
+
+    Frame numbering is assigned in the *producer* (in frame order, after
+    the collapsed-frame check), so resume entries always map to the same
+    frames a fresh run would number — identically in both loop modes.
     """
+    import contextlib
+
     from . import frame_flow, utils
     from .utils.checkpoint import FrameResultStore
     from .utils.tracing import Timer
@@ -98,23 +108,35 @@ def evaluate_per_frames(config, loader, solv, viz):
     remove_nose = utils.check_key_and_bool(config["data"], "remove_nose")
     roi = {k: common[k] for k in ("xmin", "xmax", "ymin", "ymax")}
 
-    def prepare(i1):
-        """Host stage: frame IO, GT flow, event-window assembly
-        (``bos_event.py:144-182``).  Returns None for collapsed frames."""
-        if timer is not None:
-            with timer.section("prepare"):
-                return _prepare(i1)
-        return _prepare(i1)
+    def _section(name):
+        return timer.section(name) if timer is not None else (
+            contextlib.nullcontext())
 
-    def _prepare(i1):
-        i2 = i1 + eval_dt
-        im1, t1 = loader.load_image(i1)
-        im2, t2 = loader.load_image(i2)
-        frame1 = validate_image(im1, common)
-        frame2 = validate_image(im2, common)
-        if frame1.shape != cropped_shape or frame2.shape != cropped_shape:
-            logger.warning("Frame may be collapsed — i1=%s i2=%s", i1, i2)
-            return None
+    # producer-side frame counter: incremented for every non-collapsed frame
+    # in production order, so numbering matches a fresh run in both modes
+    _next_frame = [0]
+
+    def produce(i1):
+        """Host stage: frame IO, collapse check, frame numbering, resume
+        lookup, then GT flow + event-window assembly
+        (``bos_event.py:144-182``).  Returns (tag, i_frame, work)."""
+        with _section("prepare"):
+            i2 = i1 + eval_dt
+            im1, t1 = loader.load_image(i1)
+            im2, t2 = loader.load_image(i2)
+            frame1 = validate_image(im1, common)
+            frame2 = validate_image(im2, common)
+            if frame1.shape != cropped_shape or frame2.shape != cropped_shape:
+                logger.warning("Frame may be collapsed — i1=%s i2=%s", i1, i2)
+                return ("collapsed", None, None)
+            fi = _next_frame[0]
+            _next_frame[0] = fi + 1
+            if store is not None and fi in store:
+                return ("resumed", fi, None)
+            work = _prepare_work(im1, t1, t2, frame1, frame2)
+            return ("work", fi, work)
+
+    def _prepare_work(im1, t1, t2, frame1, frame2):
         gt_flow = estimator.estimate(config["method"], _frame0, frame1,
                                      frame2, config)
 
@@ -149,15 +171,9 @@ def evaluate_per_frames(config, loader, solv, viz):
     def dispatch(work):
         """Device stage: filter + enqueue the solve (non-blocking for
         pipelined solvers)."""
-        if timer is not None:
-            with timer.section("preprocess"):
-                filtered, batch_time_scale = solv.preprocess(work["batch"])
-            with timer.section("estimate"):
-                handle = solv.estimate_async(
-                    filtered, work["gt_flow"], frame=work["im1"],
-                    background=im0, frame_time=work["t1"])
-        else:
+        with _section("preprocess"):
             filtered, batch_time_scale = solv.preprocess(work["batch"])
+        with _section("estimate"):
             handle = solv.estimate_async(
                 filtered, work["gt_flow"], frame=work["im1"],
                 background=im0, frame_time=work["t1"])
@@ -168,10 +184,8 @@ def evaluate_per_frames(config, loader, solv, viz):
     def finalize(work, handle, i_frame):
         """Host stage: fetch the flow, render, evaluate, record
         (``bos_event.py:184-220``)."""
-        if timer is not None:
-            with timer.section("finalize"):
-                return _finalize(work, handle, i_frame)
-        return _finalize(work, handle, i_frame)
+        with _section("finalize"):
+            return _finalize(work, handle, i_frame)
 
     def _finalize(work, handle, i_frame):
         estimation = handle.result()
@@ -205,46 +219,44 @@ def evaluate_per_frames(config, loader, solv, viz):
             solv.save_flow_error_as_text(i_frame, fwl, "fwl_per_frame.txt")
         solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
                                      "timestamps_per_frame.txt")
+        if viz is None:
+            # serving mode: the flow itself is the product — dump it with
+            # the visualizer's naming scheme (scaled like the visualized
+            # pred_flow .npy)
+            np.save(os.path.join(config["output_dir"],
+                                 f"pred_flow{i_frame}.npy"),
+                    estimation * scale)
         if store is not None:
             store.record(i_frame, flow=estimation, t1=float(t1),
                          t2=float(t2), **err_nomask)
 
-    i_frame = 0
     for t_start, t_end in eval_config["time_list"]:
         ind_start = loader.time_to_image_index(t_start) + 1
         ind_end = loader.time_to_image_index(t_end) - eval_dt
         logger.info("Evaluating frames %d..%d", ind_start, ind_end)
-        if pipeline:
-            # one-deep software pipeline: prepare(i+1) ‖ solve(i) ‖ finalize(i−1)
-            in_flight = None  # (work, handle, i_frame)
-            for work in _prefetched(range(ind_start, ind_end), prepare):
-                if work is None:
-                    continue
-                if store is not None and i_frame in store:
-                    logger.info("Frame %d already computed — skipping "
-                                "(resume).", i_frame)
-                    i_frame += 1
-                    continue
-                handle = dispatch(work)
+        indices = range(ind_start, ind_end)
+        # one-deep software pipeline: produce(i+1) ‖ solve(i) ‖ finalize(i−1)
+        stream = (_prefetched(indices, produce) if pipeline
+                  else (produce(i1) for i1 in indices))
+        in_flight = None  # (work, handle, i_frame)
+        for tag, fi, work in stream:
+            if tag == "collapsed":
+                continue
+            if tag == "resumed":
+                logger.info("Frame %d already computed — skipping (resume).",
+                            fi)
+                continue
+            handle = dispatch(work)
+            if pipeline:
                 if in_flight is not None:
                     finalize(*in_flight)
-                in_flight = (work, handle, i_frame)
-                i_frame += 1
-            if in_flight is not None:
-                finalize(*in_flight)
-        else:
-            for i1 in range(ind_start, ind_end):
-                if store is not None and i_frame in store:
-                    logger.info("Frame %d already computed — skipping "
-                                "(resume).", i_frame)
-                    i_frame += 1
-                    continue
-                work = prepare(i1)
-                if work is None:
-                    continue
-                handle = dispatch(work)
-                finalize(work, handle, i_frame)
-                i_frame += 1
+                in_flight = (work, handle, fi)
+            else:
+                with _section("estimate"):
+                    handle.result()  # keep the solve wait under 'estimate'
+                finalize(work, handle, fi)
+        if in_flight is not None:
+            finalize(*in_flight)
     if timer is not None:
         logger.info("Per-section host timings:\n%s", timer.report())
 

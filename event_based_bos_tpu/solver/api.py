@@ -595,6 +595,7 @@ class PatchEkltPyramid2(SolverBase):
             restrict_to_roi=bool(self.slv_config.get("restrict_to_roi", False)),
             record_evolution=_evolution_stride(self.slv_config,
                                                int(opt.get("n_iter", 600))),
+            n_restarts=int(self.slv_config.get("n_restarts", 1)),
         )
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}

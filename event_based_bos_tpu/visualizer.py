@@ -17,6 +17,7 @@ import glob
 import logging
 import os
 import re
+import threading
 from typing import Any, List, Optional
 
 import numpy as np
@@ -26,25 +27,30 @@ from .utils.video import concat_videos_horizontally, write_video
 
 
 _POISSON_VIEW_JIT = None
+_POISSON_VIEW_LOCK = threading.Lock()
 
 
 def _poisson_view(grady, gradx):
     """Jitted Poisson-integration view: one device program + a uint8 fetch
     (the eager op-by-op dispatch costs seconds per call over the remote-TPU
     tunnel).  Output ∈ [1, 255] by construction, so the uint8 cast is safe
-    on device."""
+    on device.  Lock-guarded init: the pipelined loop can reach this from
+    the prefetch thread (two-step GT) and the main thread (Poisson views)
+    concurrently, and a duplicate jit wrapper means a duplicate XLA compile."""
     global _POISSON_VIEW_JIT
     import jax
     import jax.numpy as jnp
 
-    if _POISSON_VIEW_JIT is None:
-        from .ops.poisson import poisson_reconstruct
+    with _POISSON_VIEW_LOCK:
+        if _POISSON_VIEW_JIT is None:
+            from .ops.poisson import poisson_reconstruct
 
-        def f(gy, gx):
-            p = poisson_reconstruct(gy, gx, jnp.zeros(gy.shape, jnp.float32))
-            return standardize_image_center(p).astype(jnp.uint8)
+            def f(gy, gx):
+                p = poisson_reconstruct(gy, gx,
+                                        jnp.zeros(gy.shape, jnp.float32))
+                return standardize_image_center(p).astype(jnp.uint8)
 
-        _POISSON_VIEW_JIT = jax.jit(f)
+            _POISSON_VIEW_JIT = jax.jit(f)
     return _POISSON_VIEW_JIT(jnp.asarray(grady, jnp.float32),
                              jnp.asarray(gradx, jnp.float32))
 

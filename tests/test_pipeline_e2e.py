@@ -172,11 +172,21 @@ def test_serving_mode_no_visuals(tiny_config, tmp_path):
     assert rc == 0
 
     files = os.listdir(out_srv)
-    assert not any(f.endswith((".png", ".npy", ".mp4")) for f in files), files
+    assert not any(f.endswith((".png", ".mp4")) for f in files), files
     for fname in ("flow_error_per_frame_without_mask.txt",
                   "flow_error_per_frame_with_mask.txt"):
         assert (open(os.path.join(out_srv, fname)).read()
                 == open(os.path.join(out_dir, fname)).read()), fname
+    # the flow itself IS the serving product: same .npy files (same naming,
+    # same values) as the visualizing run writes
+    srv_flows = sorted(f for f in files if f.startswith("pred_flow")
+                       and f.endswith(".npy"))
+    viz_flows = sorted(f for f in os.listdir(out_dir)
+                       if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert srv_flows == viz_flows and srv_flows
+    for f in srv_flows:
+        np.testing.assert_array_equal(np.load(os.path.join(out_srv, f)),
+                                      np.load(os.path.join(out_dir, f)))
 
 
 def test_sequential_mode(tiny_config):

@@ -267,6 +267,42 @@ def test_restrict_to_roi_mode(scene):
     assert corr > 0.75, corr
 
 
+def test_multistart_selects_best_loss_restart(scene):
+    """``n_restarts: R`` vmaps the pyramid solve over R random inits and
+    returns the restart with the lowest finest-scale loss — identical to
+    running each key separately and picking the argmin by hand."""
+    import dataclasses
+
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
+
+    I1, _, events = scene
+    ev = events_from_ndarray(events)
+    gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True)
+    single = PyramidSpec(gen=gen, roi=(0, H, 0, W), coarsest_patch=16,
+                         finest_patch=8, n_iter=24)
+    multi = dataclasses.replace(single, n_restarts=3)
+    mask = jnp.asarray(roi_mask(single))
+    frame = jnp.asarray(I1, jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    flow_multi, aux_multi = jax.jit(
+        lambda e, f, m, k: estimate_frame(e, f, m, k, multi))(
+            ev, frame, mask, key)
+
+    manual = []
+    for k in jax.random.split(key, 3):
+        fl, aux = estimate_frame(ev, frame, mask, k, single)
+        manual.append((float(jnp.min(aux["loss_history"][-1])), np.asarray(fl)))
+    best_loss, best_flow = min(manual, key=lambda t: t[0])
+    assert float(jnp.min(aux_multi["loss_history"][-1])) == pytest.approx(
+        best_loss, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(flow_multi), best_flow,
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_model_image_e2vid(scene, tmp_path):
     """model_image "e2vid" pulls the reconstruction nearest the frame time.
 
