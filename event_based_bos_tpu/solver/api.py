@@ -511,20 +511,27 @@ class GenerativeMaximumLikelihood(SolverBase):
                 functools.partial(estimate_frame_gml, spec=self.spec))
         return self._jitted[capacity]
 
-    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+    def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         ev = self._to_events(events)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
         flow, aux = self._solver_fn(ev.capacity)(ev, frame, self._next_key())
-        if self.visualizer is not None:
-            self.visualizer.visualize_scipy_history(
-                {"loss": np.asarray(aux["history"])})
-            if "theta_history" in aux:
-                from .evolution import render_gml_evolution
 
-                render_gml_evolution(self.visualizer, frame, ev, aux,
-                                     self.spec, self.iter_cnt)
-        self.iter_cnt += 1
-        return self._orient_flow(np.asarray(flow))
+        def finalize() -> np.ndarray:
+            if self.visualizer is not None:
+                self.visualizer.visualize_scipy_history(
+                    {"loss": np.asarray(aux["history"])})
+                if "theta_history" in aux:
+                    from .evolution import render_gml_evolution
+
+                    render_gml_evolution(self.visualizer, frame, ev, aux,
+                                         self.spec, self.iter_cnt)
+            self.iter_cnt += 1
+            return self._orient_flow(np.asarray(flow))
+
+        return EstimationHandle(finalize)
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        return self.estimate_async(events, *args, **kwargs).result()
 
 
 class PatchEklt(SolverBase):
@@ -558,12 +565,19 @@ class PatchEklt(SolverBase):
                 functools.partial(type(self)._estimator, spec=self.spec))
         return self._jitted[capacity]
 
-    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+    def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         ev = self._to_events(events)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
         flow, _aux = self._solver_fn(ev.capacity)(ev, frame, self._next_key())
-        self.iter_cnt += 1
-        return self._orient_flow(np.asarray(flow))
+
+        def finalize() -> np.ndarray:
+            self.iter_cnt += 1
+            return self._orient_flow(np.asarray(flow))
+
+        return EstimationHandle(finalize)
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        return self.estimate_async(events, *args, **kwargs).result()
 
 
 class PatchEkltDependent(PatchEklt):
@@ -691,16 +705,23 @@ class ContrastMaximization(SolverBase):
         self._estimator = estimate_frame_cmax
         self._jitted = {}
 
-    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+    def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         ev = self._to_events(events)
         if ev.capacity not in self._jitted:
             self._jitted[ev.capacity] = jax.jit(
                 functools.partial(self._estimator, spec=self.spec))
         flow, aux = self._jitted[ev.capacity](ev, None, self._next_key())
-        self.iter_cnt += 1
-        # CMax flow is already the pattern displacement; the "reference"
-        # orientation (negated generative fit) does not apply here.
-        return np.asarray(flow)
+
+        def finalize() -> np.ndarray:
+            self.iter_cnt += 1
+            # CMax flow is already the pattern displacement; the "reference"
+            # orientation (negated generative fit) does not apply here.
+            return np.asarray(flow)
+
+        return EstimationHandle(finalize)
+
+    def estimate(self, events, *args, **kwargs) -> np.ndarray:
+        return self.estimate_async(events, *args, **kwargs).result()
 
 
 collections = {
