@@ -134,7 +134,13 @@ def evaluate_per_frames(config, loader, solv, viz):
             if store is not None and fi in store:
                 return ("resumed", fi, None)
             work = _prepare_work(im1, t1, t2, frame1, frame2)
-            return ("work", fi, work)
+        # preprocess here (producer side) so the event filtering and the
+        # padded device upload of frame i+1 overlap the in-flight solve of
+        # frame i in pipelined mode (device_put is thread-safe)
+        with _section("preprocess"):
+            work["filtered"], work["batch_time_scale"] = (
+                solv.preprocess(work["batch"]))
+        return ("work", fi, work)
 
     def _prepare_work(im1, t1, t2, frame1, frame2):
         gt_flow = estimator.estimate(config["method"], _frame0, frame1,
@@ -169,16 +175,12 @@ def evaluate_per_frames(config, loader, solv, viz):
                     im1=im1, t1=t1, t2=t2)
 
     def dispatch(work):
-        """Device stage: filter + enqueue the solve (non-blocking for
-        pipelined solvers)."""
-        with _section("preprocess"):
-            filtered, batch_time_scale = solv.preprocess(work["batch"])
+        """Device stage: enqueue the solve (non-blocking for pipelined
+        solvers; preprocess already ran in the producer)."""
         with _section("estimate"):
             handle = solv.estimate_async(
-                filtered, work["gt_flow"], frame=work["im1"],
+                work["filtered"], work["gt_flow"], frame=work["im1"],
                 background=im0, frame_time=work["t1"])
-        work["filtered"] = filtered
-        work["batch_time_scale"] = batch_time_scale
         return handle
 
     def finalize(work, handle, i_frame):

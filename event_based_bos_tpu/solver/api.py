@@ -637,6 +637,12 @@ class PatchEkltPyramid2(SolverBase):
         flow, aux = fn(ev, frame, self._mask, self._next_key(),
                        prev_params=prev)
         self._last_aux = aux
+        try:
+            # schedule the device→host copy now: it runs as soon as the
+            # solve finishes, overlapping the finalize-side host work
+            flow.copy_to_host_async()
+        except AttributeError:
+            pass
         if self.slv_config.get("warm_start"):
             # feed the coarse-from-fine feedback into the next frame's init
             # (the mechanism the reference defines but leaves disconnected,
