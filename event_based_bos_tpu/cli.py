@@ -82,6 +82,15 @@ def evaluate_per_frames(config, loader, solv, viz):
     Frame numbering is assigned in the *producer* (in frame order, after
     the collapsed-frame check), so resume entries always map to the same
     frames a fresh run would number — identically in both loop modes.
+
+    * ``mesh: {data: D, event: E}`` (multi-chip) solves D frames per step
+      data-parallel across a ``D×E`` device mesh: each step shards the
+      polarity-vote scatter over the ``event`` axis (``psum`` reduction over
+      ICI) and runs D independent pyramid solves over the ``data`` axis
+      (``parallel.make_multichip_estimator``).  Requires the pyramid solver
+      with ``model_image: current`` and no ``warm_start`` (frames in a step
+      are solved simultaneously).  RNG-key order per frame matches the
+      single-chip loop.
     """
     import contextlib
 
@@ -93,6 +102,28 @@ def evaluate_per_frames(config, loader, solv, viz):
              if config.get("resume") else None)
     timer = Timer() if config.get("profile") else None
     pipeline = bool(config.get("pipeline"))
+
+    mesh_cfg = config.get("mesh")
+    batched_step = mesh_B = None
+    if mesh_cfg:
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel import make_mesh, make_multichip_estimator
+
+        if config["solver"].get("method") != "patch_eklt_pyramid2":
+            raise ValueError("mesh mode needs the patch_eklt_pyramid2 solver")
+        if config["solver"].get("warm_start"):
+            raise ValueError("warm_start is sequential — incompatible with "
+                             "mesh (simultaneous) frame batching")
+        gml_cfg = config["solver"].get("generative_ml", {})
+        if gml_cfg.get("model_image", "current") != "current":
+            raise ValueError("mesh mode supports model_image: current")
+        mesh_B = int(mesh_cfg.get("data", 1))
+        mesh = make_mesh((mesh_B, int(mesh_cfg.get("event", 1))))
+        batched_step = make_multichip_estimator(solv.spec, mesh)
+        logger.info("Multi-chip evaluation: mesh %s — %d frames per step.",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)), mesh_B)
 
     eval_config = config["evaluation"]
     common = config["common_params"]
@@ -232,6 +263,43 @@ def evaluate_per_frames(config, loader, solv, viz):
             store.record(i_frame, flow=estimation, t1=float(t1),
                          t2=float(t2), **err_nomask)
 
+    def flush_batch(pending):
+        """Solve ``pending`` = [(i_frame, work)] in ONE data-parallel step
+        across the mesh, then finalize each frame in order."""
+        import jax.numpy as jnp
+
+        from .parallel import stack_events
+        from .solver.api import EstimationHandle
+        from .types import pad_events
+
+        with _section("estimate"):
+            works = [w for _, w in pending]
+            cap = max(w["filtered"].capacity for w in works)
+            evs = [pad_events(w["filtered"], cap) for w in works]
+            keys = [solv._next_key() for _ in works]
+            while len(evs) < mesh_B:  # pad a partial final batch
+                evs.append(evs[-1])
+                keys.append(keys[-1])
+            ev_b = stack_events(evs)
+            frames = jnp.stack(
+                [jnp.asarray(w["im1"], solv.dtype) for w in works]
+                + [jnp.asarray(works[-1]["im1"], solv.dtype)]
+                * (mesh_B - len(works)))
+            flows, losses = batched_step(ev_b, frames, solv._mask,
+                                         jnp.stack(keys))
+
+        for j, (fi, w) in enumerate(pending):
+            flow_j, loss_j = flows[j], losses[j]
+
+            def _fin(flow_j=flow_j, loss_j=loss_j):
+                if solv.visualizer is not None:
+                    solv.visualizer.visualize_scipy_history(
+                        {"finest_scale": np.asarray(loss_j)})
+                solv.iter_cnt += 1
+                return solv._orient_flow(np.asarray(flow_j))
+
+            finalize(w, EstimationHandle(_fin), fi)
+
     for t_start, t_end in eval_config["time_list"]:
         ind_start = loader.time_to_image_index(t_start) + 1
         ind_end = loader.time_to_image_index(t_end) - eval_dt
@@ -241,12 +309,19 @@ def evaluate_per_frames(config, loader, solv, viz):
         stream = (_prefetched(indices, produce) if pipeline
                   else (produce(i1) for i1 in indices))
         in_flight = None  # (work, handle, i_frame)
+        pending = []  # mesh mode: frames awaiting a full data-parallel step
         for tag, fi, work in stream:
             if tag == "collapsed":
                 continue
             if tag == "resumed":
                 logger.info("Frame %d already computed — skipping (resume).",
                             fi)
+                continue
+            if batched_step is not None:
+                pending.append((fi, work))
+                if len(pending) == mesh_B:
+                    flush_batch(pending)
+                    pending = []
                 continue
             handle = dispatch(work)
             if pipeline:
@@ -257,6 +332,8 @@ def evaluate_per_frames(config, loader, solv, viz):
                 with _section("estimate"):
                     handle.result()  # keep the solve wait under 'estimate'
                 finalize(work, handle, fi)
+        if pending:
+            flush_batch(pending)
         if in_flight is not None:
             finalize(*in_flight)
     if timer is not None:

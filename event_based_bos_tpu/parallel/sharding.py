@@ -14,7 +14,10 @@ from typing import Optional
 
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax ≥ 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..solver.generative import (
     GenerativeSpec,

@@ -189,6 +189,54 @@ def test_serving_mode_no_visuals(tiny_config, tmp_path):
                                       np.load(os.path.join(out_dir, f)))
 
 
+def test_mesh_mode_multichip_evaluation(tiny_config, tmp_path):
+    """``mesh: {data: 2, event: 4}`` solves 2 frames per step data-parallel
+    over the 8-virtual-device mesh (event-axis psum IWE + vmapped pyramid
+    solves) and produces the same artifact set as the sequential loop, with
+    closely matching flows (the sharded scatter changes summation order)."""
+    cfg_path, out_dir = tiny_config
+    rc = cli.main(["--config_file", cfg_path, "--eval", "--log", "warning"])
+    assert rc == 0
+
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["mesh"] = {"data": 2, "event": 4}
+    out_mesh = str(tmp_path / "out_mesh")
+    cfg["output_dir"] = out_mesh
+    p = tmp_path / "mesh.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+
+    seq_flows = sorted(f for f in os.listdir(out_dir)
+                       if f.startswith("pred_flow") and f.endswith(".npy"))
+    mesh_flows = sorted(f for f in os.listdir(out_mesh)
+                        if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert mesh_flows == seq_flows and mesh_flows
+    for f in seq_flows:
+        a = np.load(os.path.join(out_dir, f))
+        b = np.load(os.path.join(out_mesh, f))
+        # same solve, different device decomposition: allow float-order noise
+        denom = np.abs(a).max() + 1e-6
+        assert np.max(np.abs(a - b)) / denom < 0.05, f
+    from event_based_bos_tpu.utils import read_flow_error_text
+
+    _pf, stats = read_flow_error_text(
+        os.path.join(out_mesh, "flow_error_per_frame_without_mask.txt"))
+    assert np.isfinite(stats["EPE"]["mean"])
+
+
+def test_mesh_mode_rejects_incompatible_config(tiny_config, tmp_path):
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["mesh"] = {"data": 2, "event": 4}
+    cfg["solver"]["warm_start"] = True
+    cfg["output_dir"] = str(tmp_path / "bad")
+    p = tmp_path / "bad.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ValueError, match="warm_start"):
+        cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+
+
 def test_sequential_mode(tiny_config):
     cfg_path, out_dir = tiny_config
     rc = cli.main(["--config_file", cfg_path, "--log", "warning"])
