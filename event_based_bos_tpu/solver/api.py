@@ -474,6 +474,12 @@ class SolverBase:
                 "supplying `frame`.")
         raise ValueError(f"Unknown model_image {mode!r}")
 
+    def _viz_diff_scale(self):
+        """``generative_ml.viz_diff_scale`` — the fixed color scale of the
+        DEBUG ``opt_diff`` evolution view (``gml:388-396``)."""
+        g = self.slv_config.get("generative_ml", {})
+        return tuple(g.get("viz_diff_scale", (-0.25, 0.25)))
+
     def _orient_flow(self, flow: np.ndarray) -> np.ndarray:
         """Apply the output convention (see module docstring)."""
         if self.flow_convention == "physical":
@@ -524,7 +530,8 @@ class GenerativeMaximumLikelihood(SolverBase):
                     from .evolution import render_gml_evolution
 
                     render_gml_evolution(self.visualizer, frame, ev, aux,
-                                         self.spec, self.iter_cnt)
+                                         self.spec, self.iter_cnt,
+                                         diff_scale=self._viz_diff_scale())
             self.iter_cnt += 1
             return self._orient_flow(np.asarray(flow))
 
@@ -662,7 +669,8 @@ class PatchEkltPyramid2(SolverBase):
                     from .evolution import render_pyramid_evolution
 
                     render_pyramid_evolution(self.visualizer, frame, ev, aux,
-                                             self.spec, self.iter_cnt)
+                                             self.spec, self.iter_cnt,
+                                             diff_scale=self._viz_diff_scale())
             self.iter_cnt += 1
             return self._orient_flow(np.asarray(flow))
 

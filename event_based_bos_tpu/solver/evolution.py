@@ -42,7 +42,25 @@ def _make_child_visualizer(visualizer, iter_cnt: int):
                       save_dir=save_dir)
 
 
-def _emit(viz, pred: np.ndarray, measured: np.ndarray):
+def _emit(viz, pred: np.ndarray, measured: np.ndarray,
+          diff_scale=(-0.25, 0.25)):
+    import logging
+
+    logger = logging.getLogger(__name__)
+    diff = pred - measured
+    lower, upper = diff_scale
+    d_min, d_max = float(diff.min()), float(diff.max())
+    # parity: the reference warns when the fixed color scale clips
+    # (``gml:389-393``)
+    if d_min < lower:
+        logger.warning("The lowest value in diff is %s but lower scale is %s",
+                       d_min, lower)
+    if d_max > upper:
+        logger.warning("The highest value in diff is %s but upper scale is %s",
+                       d_max, upper)
+    viz.visualize_image(
+        np.asarray(range_norm(diff, lower=lower, upper=upper)).astype(np.uint8),
+        file_prefix="opt_diff")
     viz.visualize_image(np.asarray(range_norm(pred)).astype(np.uint8),
                         file_prefix="opt_prediction")
     viz.visualize_image(np.asarray(range_norm(measured)).astype(np.uint8),
@@ -50,12 +68,13 @@ def _emit(viz, pred: np.ndarray, measured: np.ndarray):
 
 
 def _finish(viz):
-    for prefix in ("opt_prediction", "opt_measured"):
+    for prefix in ("opt_diff", "opt_prediction", "opt_measured"):
         viz.visualize_sequential_images_as_video(prefix)
 
 
 def render_pyramid_evolution(visualizer, frame, ev, aux, spec,
-                             iter_cnt: int = 0) -> None:
+                             iter_cnt: int = 0,
+                             diff_scale=(-0.25, 0.25)) -> None:
     """Render the pyramid solve's recorded trajectory to an evolution video.
 
     ``aux`` must carry ``params_history`` (set ``spec.record_evolution > 0``).
@@ -81,12 +100,13 @@ def render_pyramid_evolution(visualizer, frame, ev, aux, spec,
             fields = params_to_fields(jnp.asarray(p, gen.dtype), grid, gen)
             pred = predict_increment(fields["flow"], gx, gy, gen,
                                      fields.get("pxy"))
-            _emit(viz, np.asarray(pred), measured)
+            _emit(viz, np.asarray(pred), measured, diff_scale)
     _finish(viz)
 
 
 def render_gml_evolution(visualizer, frame, ev, aux, spec,
-                         iter_cnt: int = 0) -> None:
+                         iter_cnt: int = 0,
+                         diff_scale=(-0.25, 0.25)) -> None:
     """Render the whole-ROI solver's recorded scalar trajectory."""
     if "theta_history" not in aux:
         return
@@ -104,5 +124,5 @@ def render_gml_evolution(visualizer, frame, ev, aux, spec,
         # exactly the optimizer's prediction (shared code path)
         pred, _params = scalar_prediction(th, gx, gy, spec.roi, gen,
                                           weights_roi)
-        _emit(viz, np.asarray(pred), measured)
+        _emit(viz, np.asarray(pred), measured, diff_scale)
     _finish(viz)

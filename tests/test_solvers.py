@@ -380,8 +380,11 @@ def test_debug_evolution_video(scene, tmp_path):
     evo_dir = tmp_path / "0"
     preds = list(evo_dir.glob("opt_prediction*.png"))
     assert len(preds) >= 2, list(evo_dir.iterdir())
+    # diff view with the viz_diff_scale color scale (``gml:388-396``)
+    assert len(list(evo_dir.glob("opt_diff*.png"))) == len(preds)
     assert (evo_dir / "opt_prediction.mp4").exists()
     assert (evo_dir / "opt_measured.mp4").exists()
+    assert (evo_dir / "opt_diff.mp4").exists()
 
     # GML facade path
     cfg2 = TestApiFacade()._config("generative_max_likelihood")
