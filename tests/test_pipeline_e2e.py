@@ -245,6 +245,28 @@ def test_sequential_mode(tiny_config):
     assert any(f.startswith("original") for f in os.listdir(out_dir))
 
 
+def test_sequential_estimate_mode(tiny_config, tmp_path):
+    """``run_mode: sequential_estimate`` runs the streaming estimation the
+    reference ships commented out (``bos_event.py:257-258``), with warm
+    starts carrying across windows."""
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["run_mode"] = "sequential_estimate"
+    cfg["solver"]["warm_start"] = True
+    cfg["solver"]["optimizer"]["n_iter"] = 12
+    cfg["evaluation"]["time_list"] = [[0.03, 0.08]]
+    p = tmp_path / "seqest.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--log", "warning"])
+    assert rc == 0
+    files = os.listdir(out_dir)
+    flows = [f for f in files if f.startswith("pred_flow")
+             and f.endswith(".npy")]
+    assert flows
+    arr = np.load(os.path.join(out_dir, flows[0]))
+    assert arr.shape[0] == 2 and np.isfinite(arr).all()
+
+
 def test_accumulate_mode(tiny_config, tmp_path):
     cfg_path, out_dir = tiny_config
     cfg = yaml.safe_load(open(cfg_path))
