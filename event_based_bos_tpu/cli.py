@@ -119,8 +119,19 @@ def evaluate_per_frames(config, loader, solv, viz):
         gml_cfg = config["solver"].get("generative_ml", {})
         if gml_cfg.get("model_image", "current") != "current":
             raise ValueError("mesh mode supports model_image: current")
+        if int(config["solver"].get("n_restarts", 1)) > 1:
+            raise ValueError(
+                "n_restarts > 1 is not applied by the mesh-batched step "
+                "(it calls the single-start pyramid solve per frame) — "
+                "drop either key.")
+        mesh_E = int(mesh_cfg.get("event", 1))
+        if mesh_E & (mesh_E - 1):
+            # event capacities are power-of-two buckets; a non-power-of-two
+            # event axis would fail deep inside shard_map at the first step
+            raise ValueError(f"mesh event axis must be a power of two to "
+                             f"divide the padded event buckets, got {mesh_E}")
         mesh_B = int(mesh_cfg.get("data", 1))
-        mesh = make_mesh((mesh_B, int(mesh_cfg.get("event", 1))))
+        mesh = make_mesh((mesh_B, mesh_E))
         batched_step = make_multichip_estimator(solv.spec, mesh)
         logger.info("Multi-chip evaluation: mesh %s — %d frames per step.",
                     dict(zip(mesh.axis_names, mesh.devices.shape)), mesh_B)
@@ -289,12 +300,16 @@ def evaluate_per_frames(config, loader, solv, viz):
                                          jnp.stack(keys))
 
         for j, (fi, w) in enumerate(pending):
-            flow_j, loss_j = flows[j], losses[j]
+            flow_j = flows[j]
+            hist_j = [h[j] for h in losses]  # per-scale, like single-chip
 
-            def _fin(flow_j=flow_j, loss_j=loss_j):
+            def _fin(flow_j=flow_j, hist_j=hist_j):
                 if solv.visualizer is not None:
+                    # same artifact as the single-chip loop: one curve per
+                    # pyramid scale
                     solv.visualizer.visualize_scipy_history(
-                        {"finest_scale": np.asarray(loss_j)})
+                        {f"scale{i}": np.asarray(h)
+                         for i, h in enumerate(hist_j)})
                 solv.iter_cnt += 1
                 return solv._orient_flow(np.asarray(flow_j))
 

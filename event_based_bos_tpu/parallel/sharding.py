@@ -66,9 +66,25 @@ def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,
     pyramid solve is expressed with sharding constraints and partitioned by
     XLA (pure data parallelism over ``data``).
 
-    Returns ``step(ev, frames, mask, keys) -> (flows [B, 2, H, W], aux)``.
+    Returns ``step(ev, frames, mask, keys) ->
+    (flows [B, 2, H, W], loss_histories)`` where ``loss_histories`` is a
+    tuple of per-scale ``[B, n_iter_s]`` arrays (coarsest → finest) — the
+    same per-scale histories the single-chip solve reports.
     """
+    import dataclasses
+
     gen = spec.gen
+    if spec.record_evolution > 0:
+        # per-iterate parameter recording would allocate B lanes of history
+        # on device and no consumer exists in the batched path — drop it
+        # loudly rather than silently paying for it
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "record_evolution is not supported by the multi-chip batched "
+            "step — evolution videos are only produced by the single-chip "
+            "loop; disabling recording for this estimator.")
+        spec = dataclasses.replace(spec, record_evolution=0)
 
     def step(ev: Events, frames: jax.Array, mask: jax.Array, keys: jax.Array):
         pol = sharded_polarity_votes(ev, gen, mesh)
@@ -82,7 +98,7 @@ def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,
                                      use_log_intensity=gen.use_log_intensity)
             flow, aux = solve_pyramid(hist, weights, weight_inverse, gx, gy,
                                       mask, key_i, spec)
-            return flow, aux["loss_history"][-1]
+            return flow, tuple(aux["loss_history"])
 
         flows, losses = jax.vmap(solve_one)(pol, frames, keys)
         flows = jax.lax.with_sharding_constraint(

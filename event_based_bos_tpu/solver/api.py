@@ -187,7 +187,8 @@ class SolverBase:
         self.iwe_visualize_max_scale = self.slv_config.get("max_scale", 50)
         self.motion_model = self.slv_config.get("motion_model", "dense-flow")
         self._rng = jax.random.PRNGKey(int(self.slv_config.get("seed", 0)))
-        self.iter_cnt = 0
+        self.iter_cnt = 0       # frames finalized (visualization counter)
+        self.dispatch_cnt = 0   # frames dispatched (pipelined mode runs ahead)
         logger.info("Solver configuration: %s", self.slv_config)
 
     # -- helpers ---------------------------------------------------------------
@@ -454,8 +455,10 @@ class SolverBase:
                 return np.asarray(kwargs["e2vid_frame"])
             if self._e2vid_loader is not None:
                 t = kwargs.get("frame_time")
+                # dispatch_cnt, not iter_cnt: under the pipelined loop the
+                # next frame is dispatched before the previous finalizes
                 index = (max(self._e2vid_loader.time_to_image_index(t), 0)
-                         if t is not None else self.iter_cnt)
+                         if t is not None else self.dispatch_cnt)
                 image, _ts = self._e2vid_loader.load_image(index)
                 return np.asarray(image)
             if kwargs.get("frame") is not None:
@@ -535,6 +538,7 @@ class GenerativeMaximumLikelihood(SolverBase):
             self.iter_cnt += 1
             return self._orient_flow(np.asarray(flow))
 
+        self.dispatch_cnt += 1
         return EstimationHandle(finalize)
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:
@@ -581,6 +585,7 @@ class PatchEklt(SolverBase):
             self.iter_cnt += 1
             return self._orient_flow(np.asarray(flow))
 
+        self.dispatch_cnt += 1
         return EstimationHandle(finalize)
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:
@@ -618,6 +623,12 @@ class PatchEkltPyramid2(SolverBase):
                                                int(opt.get("n_iter", 600))),
             n_restarts=int(self.slv_config.get("n_restarts", 1)),
         )
+        if self.spec.n_restarts > 1 and self.slv_config.get("warm_start"):
+            # warm starts pin every restart to the same init — R× the cost
+            # for the single-start result (see estimate_frame)
+            raise ValueError("n_restarts > 1 is a cold-start feature; it "
+                             "does not compose with warm_start (all "
+                             "restarts would share the warm init).")
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}
         self._last_aux = None
@@ -674,6 +685,7 @@ class PatchEkltPyramid2(SolverBase):
             self.iter_cnt += 1
             return self._orient_flow(np.asarray(flow))
 
+        self.dispatch_cnt += 1
         return EstimationHandle(finalize)
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:
@@ -732,6 +744,7 @@ class ContrastMaximization(SolverBase):
             # orientation (negated generative fit) does not apply here.
             return np.asarray(flow)
 
+        self.dispatch_cnt += 1
         return EstimationHandle(finalize)
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:

@@ -16,6 +16,7 @@ call — no per-iteration host round-trips during the optimization itself
 
 from __future__ import annotations
 
+import logging
 import os
 
 import jax.numpy as jnp
@@ -33,6 +34,8 @@ from .generative import (
 
 __all__ = ["render_pyramid_evolution", "render_gml_evolution"]
 
+logger = logging.getLogger(__name__)
+
 
 def _make_child_visualizer(visualizer, iter_cnt: int):
     from ..visualizer import Visualizer
@@ -44,9 +47,6 @@ def _make_child_visualizer(visualizer, iter_cnt: int):
 
 def _emit(viz, pred: np.ndarray, measured: np.ndarray,
           diff_scale=(-0.25, 0.25)):
-    import logging
-
-    logger = logging.getLogger(__name__)
     diff = pred - measured
     lower, upper = diff_scale
     d_min, d_max = float(diff.min()), float(diff.max())

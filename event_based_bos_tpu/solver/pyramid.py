@@ -244,16 +244,25 @@ def estimate_frame(
     gx, gy = frame_gradients(frame, ksize=gen.sobel_ksize,
                              use_log_intensity=gen.use_log_intensity)
     hist, weights, weight_inverse = iwe_cache(ev, gen)
-    if spec.n_restarts > 1 and init_params is None:
-        # multi-start quality mode: vmap the solve over restart keys, keep
+    if spec.n_restarts > 1 and init_params is None and prev_params is None:
+        # Multi-start quality mode: vmap the solve over restart keys, keep
         # the restart whose finest scale reached the lowest loss (the IWE
-        # cache and gradients are computed once and broadcast)
+        # cache and gradients are computed once and broadcast).  Only the
+        # random cold-start init differs between restarts, so the branch is
+        # skipped when a warm start (prev_params) or explicit init pins the
+        # trajectory — R identical solves would cost R× for nothing (the
+        # facade rejects warm_start+n_restarts configs up front).
         keys = jax.random.split(key, spec.n_restarts)
         flows, auxes = jax.vmap(
             lambda k: solve_pyramid(hist, weights, weight_inverse, gx, gy,
-                                    mask, k, spec, prev_params, lr=lr)
+                                    mask, k, spec, lr=lr)
         )(keys)
-        best = jnp.argmin(jnp.min(auxes["loss_history"][-1], axis=-1))
+        final_hist = auxes["loss_history"][-1]  # [R, n_iter of finest scale]
+        # selection metric must match what each restart *returns*: the
+        # best-loss iterate under track_best, the final iterate otherwise
+        score = (jnp.min(final_hist, axis=-1) if spec.track_best
+                 else final_hist[:, -1])
+        best = jnp.argmin(score)
         flow = jax.tree_util.tree_map(lambda x: x[best], flows)
         aux = jax.tree_util.tree_map(lambda x: x[best], auxes)
         return flow, aux

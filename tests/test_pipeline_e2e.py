@@ -227,14 +227,42 @@ def test_mesh_mode_multichip_evaluation(tiny_config, tmp_path):
 
 def test_mesh_mode_rejects_incompatible_config(tiny_config, tmp_path):
     cfg_path, _ = tiny_config
+
+    def run_with(extra, match, i):
+        cfg = yaml.safe_load(open(cfg_path))
+        cfg["mesh"] = {"data": 2, "event": 4}
+        cfg["output_dir"] = str(tmp_path / f"bad{i}")
+        for k, v in extra.items():
+            if k == "solver":
+                cfg["solver"].update(v)
+            else:
+                cfg[k] = v
+        p = tmp_path / f"bad{i}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(ValueError, match=match):
+            cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+
+    run_with({"solver": {"warm_start": True}}, "warm_start", 0)
+    run_with({"solver": {"n_restarts": 8}}, "n_restarts", 1)
+    run_with({"mesh": {"data": 2, "event": 3}}, "power of two", 2)
+
+
+def test_warm_start_rejects_multistart(tiny_config):
+    """n_restarts > 1 with warm_start would run R identical restarts — the
+    facade rejects the combination up front."""
+    from event_based_bos_tpu.solver import collections as solver_collections
+    from event_based_bos_tpu.utils.config import propagate_config
+
+    cfg_path, _ = tiny_config
     cfg = yaml.safe_load(open(cfg_path))
-    cfg["mesh"] = {"data": 2, "event": 4}
+    propagate_config(cfg)
     cfg["solver"]["warm_start"] = True
-    cfg["output_dir"] = str(tmp_path / "bad")
-    p = tmp_path / "bad.yaml"
-    p.write_text(yaml.safe_dump(cfg))
-    with pytest.raises(ValueError, match="warm_start"):
-        cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    cfg["solver"]["n_restarts"] = 4
+    with pytest.raises(ValueError, match="cold-start"):
+        solver_collections["patch_eklt_pyramid2"](
+            (cfg["data"]["height"], cfg["data"]["width"]),
+            (cfg["data"]["crop_height"], cfg["data"]["crop_width"]),
+            solver_config=cfg["solver"], visualize_module=None)
 
 
 def test_sequential_mode(tiny_config):
