@@ -232,27 +232,31 @@ def evaluate_per_frames(config, loader, solv, viz):
             return _finalize(work, handle, i_frame)
 
     def _finalize(work, handle, i_frame):
-        estimation = handle.result()
+        with _section("finalize/solve_wait"):
+            estimation = handle.result()
         gt_flow, filtered = work["gt_flow"], work["filtered"]
         t1, t2 = work["t1"], work["t2"]
         gt_time_scale = t2 - t1
         batch_time_scale = work["batch_time_scale"]
         scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
 
-        solv.visualize_original_sequential(work["batch_for_gt"], filtered)
-        solv.visualize_flows(estimation * scale, gt_flow)
-        solv.visualize_pred_sequential(filtered, estimation * scale)
-        solv.visualize_gt_sequential(filtered, gt_flow)
+        with _section("finalize/visualize"):
+            solv.visualize_original_sequential(work["batch_for_gt"], filtered)
+            solv.visualize_flows(estimation * scale, gt_flow)
+            solv.visualize_pred_sequential(filtered, estimation * scale)
+            solv.visualize_gt_sequential(filtered, gt_flow)
 
         est_c = estimation[:, common["xmin"]:common["xmax"],
                            common["ymin"]:common["ymax"]]
         gt_c = gt_flow[:, common["xmin"]:common["xmax"],
                        common["ymin"]:common["ymax"]]
-        err_nomask = solv.calculate_flow_error(est_c, gt_c)
+        with _section("finalize/errors"):
+            err_nomask = solv.calculate_flow_error(est_c, gt_c)
         solv.save_flow_error_as_text(i_frame, err_nomask,
                                      "flow_error_per_frame_without_mask.txt")
-        err_mask = solv.calculate_flow_error(est_c, gt_c, events=filtered,
-                                             roi=roi)
+        with _section("finalize/errors"):
+            err_mask = solv.calculate_flow_error(est_c, gt_c, events=filtered,
+                                                 roi=roi)
         solv.save_flow_error_as_text(i_frame, err_mask,
                                      "flow_error_per_frame_with_mask.txt")
         if "fwl" in eval_config.get("metrics", []):
