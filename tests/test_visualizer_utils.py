@@ -140,6 +140,47 @@ class TestMiscAndTracing:
         assert stats["n"] == 2 and np.isfinite(stats["median_s"])
 
 
+class TestJittedRenderParity:
+    """The per-frame render/eval programs were moved on-device (uint8 out);
+    they must stay bit-identical to the host formulas they replaced."""
+
+    def test_clipped_iwe_matches_host_formula(self):
+        import jax.numpy as jnp
+
+        from event_based_bos_tpu import events_from_ndarray
+        from event_based_bos_tpu.ops.iwe import create_image_from_events
+        from event_based_bos_tpu.solver.api import _jit_clipped_iwe
+
+        rng = np.random.default_rng(0)
+        n, h, w = 4000, 48, 64
+        arr = np.stack([rng.uniform(0, h, n), rng.uniform(0, w, n),
+                        np.sort(rng.uniform(0, 1, n)),
+                        rng.integers(0, 2, n).astype(float)], 1)
+        ev = events_from_ndarray(arr, capacity=4096)
+        for max_scale in (7, 50):
+            got = np.asarray(_jit_clipped_iwe((h, w))(
+                ev, jnp.asarray(float(max_scale), jnp.float32)))
+            im = np.asarray(create_image_from_events(ev, (h, w), sigma=0))
+            want = 255 - np.clip(max_scale * im, 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+
+    def test_poisson_view_matches_host_formula(self):
+        import jax.numpy as jnp
+
+        from event_based_bos_tpu.ops.image_warp import standardize_image_center
+        from event_based_bos_tpu.ops.poisson import poisson_reconstruct
+        from event_based_bos_tpu.visualizer import _poisson_view
+
+        rng = np.random.default_rng(1)
+        flow = rng.standard_normal((2, 32, 40)).astype(np.float32)
+        got = np.asarray(_poisson_view(flow[1], flow[0]))
+        p = poisson_reconstruct(jnp.asarray(flow[1]), jnp.asarray(flow[0]),
+                                jnp.zeros(flow[0].shape, jnp.float32))
+        want = np.asarray(standardize_image_center(np.asarray(p))).astype(
+            np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_vector_field_view(tmp_path):
     viz = Visualizer((24, 32), save=True, show=False, save_dir=str(tmp_path))
     flow = np.random.default_rng(0).normal(size=(2, 24, 32))
