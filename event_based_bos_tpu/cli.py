@@ -251,12 +251,10 @@ def evaluate_per_frames(config, loader, solv, viz):
         gt_c = gt_flow[:, common["xmin"]:common["xmax"],
                        common["ymin"]:common["ymax"]]
         with _section("finalize/errors"):
-            err_nomask = solv.calculate_flow_error(est_c, gt_c)
+            err_nomask, err_mask = solv.calculate_flow_errors(
+                est_c, gt_c, filtered, roi)
         solv.save_flow_error_as_text(i_frame, err_nomask,
                                      "flow_error_per_frame_without_mask.txt")
-        with _section("finalize/errors"):
-            err_mask = solv.calculate_flow_error(est_c, gt_c, events=filtered,
-                                                 roi=roi)
         solv.save_flow_error_as_text(i_frame, err_mask,
                                      "flow_error_per_frame_with_mask.txt")
         if "fwl" in eval_config.get("metrics", []):

@@ -83,6 +83,21 @@ def _jit_flow_error(masked: bool):
     return jax.jit(lambda gt, pred: calculate_flow_error(gt, pred))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_flow_error_pair(image_shape, crop):
+    """Both per-frame error dicts (unmasked + event-masked) in ONE device
+    program: the evaluation loop otherwise pays two dispatch+fetch round
+    trips per frame over the remote-device link."""
+    x0, x1, y0, y1 = crop
+
+    def f(gt, pred, ev: Events):
+        mask = create_eventmask(ev, image_shape)[:, x0:x1, y0:y1]
+        return (calculate_flow_error(gt, pred),
+                calculate_flow_error(gt, pred, event_mask=mask[None]))
+
+    return jax.jit(f)
+
+
 def _evolution_stride(solver_config, n_iter: int) -> int:
     """Iterate-recording stride for DEBUG evolution videos.
 
@@ -256,6 +271,21 @@ class SolverBase:
         mask = _jit_eventmask(self.orig_image_shape)(ev)
         self._eventmask_memo = (ev.x, mask)
         return mask
+
+    def calculate_flow_errors(self, pred_disp, gt_flow, events,
+                              roi: dict) -> tuple:
+        """(unmasked, event-masked) error dicts in one device round trip —
+        the evaluation loop's per-frame pair (``bos_event.py:203-212``),
+        semantically identical to two :meth:`calculate_flow_error` calls."""
+        ev = self._to_events(events)
+        crop = (roi["xmin"], roi["xmax"], roi["ymin"], roi["ymax"])
+        nomask, masked = _jit_flow_error_pair(self.orig_image_shape, crop)(
+            jnp.asarray(gt_flow)[None], jnp.asarray(pred_disp)[None], ev)
+        out = tuple({k: float(v) for k, v in jax.device_get(d).items()}
+                    for d in (nomask, masked))
+        logger.info("flow_error = %s", out[0])
+        logger.info("flow_error = %s", out[1])
+        return out
 
     def calculate_flow_error(self, pred_disp, gt_flow, timescale: float = 1.0,
                              events=None, roi: Optional[dict] = None) -> dict:
