@@ -668,6 +668,11 @@ class PatchEkltPyramid2(SolverBase):
         # (and caches) per input structure, so the cold/warm-start variants
         # (prev_params None vs array) share the entry
         if capacity not in self._jitted:
+            logger.info(
+                "Building the solve program for event capacity %d — the "
+                "first frame includes compilation (can take minutes on "
+                "remote backends; subsequent frames are milliseconds).",
+                capacity)
             self._jitted[capacity] = jax.jit(
                 functools.partial(estimate_frame, spec=self.spec))
         return self._jitted[capacity]
