@@ -241,10 +241,18 @@ def evaluate_per_frames(config, loader, solv, viz):
         scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
 
         with _section("finalize/visualize"):
-            solv.visualize_original_sequential(work["batch_for_gt"], filtered)
-            solv.visualize_flows(estimation * scale, gt_flow)
-            solv.visualize_pred_sequential(filtered, estimation * scale)
-            solv.visualize_gt_sequential(filtered, gt_flow)
+            if solv.visualizer is not None:
+                # all per-frame device renders in one program + fetch
+                b = solv.render_bundle(filtered, estimation * scale, gt_flow)
+                solv.visualize_original_sequential(
+                    work["batch_for_gt"], filtered, clipped=b["clipped"])
+                solv.visualize_flows(estimation * scale, gt_flow)
+                solv.visualize_pred_sequential(
+                    filtered, estimation * scale,
+                    poisson=b["poisson_est"], mask=b["mask"])
+                solv.visualize_gt_sequential(
+                    filtered, gt_flow,
+                    poisson=b["poisson_gt"], mask=b["mask"])
 
         est_c = estimation[:, common["xmin"]:common["xmax"],
                            common["ymin"]:common["ymax"]]

@@ -84,6 +84,30 @@ def _jit_flow_error(masked: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_render_bundle(image_shape):
+    """All per-frame visualization device work in ONE program: clipped IWE,
+    event mask, and both Poisson-integration views (each extra dispatch
+    costs a full round trip over a remote-device link)."""
+    from ..ops.image_warp import standardize_image_center
+    from ..ops.poisson import poisson_reconstruct
+
+    def poisson_view(flow):
+        p = poisson_reconstruct(flow[1], flow[0],
+                                jnp.zeros(image_shape, jnp.float32))
+        return standardize_image_center(p).astype(jnp.uint8)
+
+    def f(ev: Events, est_scaled: jax.Array, gt_flow: jax.Array,
+          max_scale: jax.Array):
+        im = create_image_from_events(ev, image_shape, sigma=0)
+        clipped = 255 - jnp.clip(max_scale * im, 0, 255).astype(jnp.uint8)
+        mask = create_eventmask(ev, image_shape)
+        return (clipped, mask, poisson_view(est_scaled.astype(jnp.float32)),
+                poisson_view(gt_flow.astype(jnp.float32)))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_flow_error_pair(image_shape, crop):
     """Both per-frame error dicts (unmasked + event-masked) in ONE device
     program: the evaluation loop otherwise pays two dispatch+fetch round
@@ -343,6 +367,26 @@ class SolverBase:
                              self.calib_param["D"], None, new_mtx)
 
     # -- visualization ---------------------------------------------------------------
+    def render_bundle(self, events, est_scaled, gt_flow) -> dict:
+        """Per-frame visualization artifacts in one device program + fetch.
+
+        Returns ``{"clipped", "mask", "poisson_est", "poisson_gt"}`` (numpy)
+        for the ``visualize_*`` methods' precomputed kwargs — the evaluation
+        loop otherwise pays four dispatch+fetch round trips per frame.
+        """
+        ev = self._to_events(events)
+        clipped, mask, poi_est, poi_gt = jax.device_get(
+            _jit_render_bundle(self.orig_image_shape)(
+                ev, jnp.asarray(est_scaled), jnp.asarray(gt_flow),
+                jnp.asarray(float(self.iwe_visualize_max_scale),
+                            jnp.float32)))
+        if self.padding > 0:
+            clipped = clipped[self.padding:-self.padding,
+                              self.padding:-self.padding]
+        self._eventmask_memo = (ev.x, mask)  # consumers np.asarray() it
+        return {"clipped": clipped, "mask": mask,
+                "poisson_est": poi_est, "poisson_gt": poi_gt}
+
     def create_clipped_image(self, events, max_scale=50):
         """Inverted clipped IWE for viewing (``base.py:154-174``)."""
         ev = self._to_events(events)
@@ -357,20 +401,25 @@ class SolverBase:
         if prefix not in self.sequential_video_list:
             self.sequential_video_list.append(prefix)
 
-    def visualize_original_sequential(self, orig_events, filter_events):
-        """(``base.py:208-229``)."""
+    def visualize_original_sequential(self, orig_events, filter_events,
+                                      clipped=None):
+        """(``base.py:208-229``).  ``clipped`` optionally supplies the
+        precomputed IWE render (see :meth:`render_bundle`)."""
         if self.visualizer is None:
             return
         orig = orig_events.to_numpy() if isinstance(orig_events, Events) else orig_events
         self.visualizer.visualize_event(orig, file_prefix="original")
         self._register_video("original")
-        clipped = self.create_clipped_image(filter_events,
-                                            self.iwe_visualize_max_scale)
+        if clipped is None:
+            clipped = self.create_clipped_image(filter_events,
+                                                self.iwe_visualize_max_scale)
         self.visualizer.visualize_image(clipped, file_prefix="original_filter")
         self._register_video("original_filter")
 
-    def visualize_pred_sequential(self, events, flow):
-        """(``base.py:231-252``)."""
+    def visualize_pred_sequential(self, events, flow, poisson=None,
+                                  mask=None):
+        """(``base.py:231-252``).  ``poisson``/``mask`` optionally supply
+        the precomputed views (see :meth:`render_bundle`)."""
         if self.visualizer is None:
             return
         flow = np.asarray(flow)
@@ -379,15 +428,17 @@ class SolverBase:
             file_prefix="pred_flow", save_flow=True)
         self._register_video("pred_flow")
         self.visualizer.visualize_poisson_integration(
-            flow, file_prefix="pred_flow_poisson")
+            flow, file_prefix="pred_flow_poisson", image=poisson)
         self._register_video("pred_flow_poisson")
-        mask = np.asarray(self._eventmask(self._to_events(events)))
+        if mask is None:
+            mask = np.asarray(self._eventmask(self._to_events(events)))
         self.visualizer.visualize_optical_flow_on_event_mask(
             flow, None, file_prefix="pred_masked", mask_color="black",
             mask_morph=True, mask=mask)
         self._register_video("pred_masked")
 
-    def visualize_gt_sequential(self, events, gt_flow):
+    def visualize_gt_sequential(self, events, gt_flow, poisson=None,
+                                mask=None):
         """(``base.py:254-273``)."""
         if self.visualizer is None:
             return
@@ -397,9 +448,10 @@ class SolverBase:
             file_prefix="gt_flow", save_flow=False)
         self._register_video("gt_flow")
         self.visualizer.visualize_poisson_integration(
-            gt_flow, file_prefix="gt_flow_poisson")
+            gt_flow, file_prefix="gt_flow_poisson", image=poisson)
         self._register_video("gt_flow_poisson")
-        mask = np.asarray(self._eventmask(self._to_events(events)))
+        if mask is None:
+            mask = np.asarray(self._eventmask(self._to_events(events)))
         self.visualizer.visualize_optical_flow_on_event_mask(
             gt_flow, None, file_prefix="gt_masked", mask_color="black",
             mask_morph=True, mask=mask)

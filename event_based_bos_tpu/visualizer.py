@@ -260,11 +260,15 @@ class Visualizer:
         return self._show_or_save_image(out, file_prefix)
 
     # -- poisson view ------------------------------------------------------------
-    def visualize_poisson_integration(self, flow, file_prefix=None):
-        """(``visualizer.py:419-434``)."""
-        flow = _to_numpy(flow)
-        centered = np.asarray(_poisson_view(flow[1], flow[0]))
-        return self.visualize_image(centered, file_prefix=file_prefix)
+    def visualize_poisson_integration(self, flow, file_prefix=None,
+                                      image=None):
+        """(``visualizer.py:419-434``).  ``image`` optionally supplies the
+        precomputed uint8 view (one fused device program renders all
+        per-frame views — see ``solver.api.SolverBase.render_bundle``)."""
+        if image is None:
+            flow = _to_numpy(flow)
+            image = np.asarray(_poisson_view(flow[1], flow[0]))
+        return self.visualize_image(image, file_prefix=file_prefix)
 
     # -- events -------------------------------------------------------------------
     def visualize_event(self, events, grayscale=True, background_color=127,
