@@ -239,16 +239,17 @@ def evaluate_per_frames(config, loader, solv, viz):
         gt_time_scale = t2 - t1
         batch_time_scale = work["batch_time_scale"]
         scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
+        est_scaled = estimation * scale
 
         with _section("finalize/visualize"):
             if solv.visualizer is not None:
                 # all per-frame device renders in one program + fetch
-                b = solv.render_bundle(filtered, estimation * scale, gt_flow)
+                b = solv.render_bundle(filtered, est_scaled, gt_flow)
                 solv.visualize_original_sequential(
                     work["batch_for_gt"], filtered, clipped=b["clipped"])
-                solv.visualize_flows(estimation * scale, gt_flow)
+                solv.visualize_flows(est_scaled, gt_flow)
                 solv.visualize_pred_sequential(
-                    filtered, estimation * scale,
+                    filtered, est_scaled,
                     poisson=b["poisson_est"], mask=b["mask"])
                 solv.visualize_gt_sequential(
                     filtered, gt_flow,
@@ -269,7 +270,7 @@ def evaluate_per_frames(config, loader, solv, viz):
             # Flow Warp Loss (Stoffregen 2020): the reference declares
             # this metric but its implementation is dead
             # (``base.py:319-340``); it works here.
-            fwl = solv.calculate_fwl(estimation * scale, filtered)
+            fwl = solv.calculate_fwl(est_scaled, filtered)
             solv.save_flow_error_as_text(i_frame, fwl, "fwl_per_frame.txt")
         solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
                                      "timestamps_per_frame.txt")
@@ -278,8 +279,7 @@ def evaluate_per_frames(config, loader, solv, viz):
             # the visualizer's naming scheme (scaled like the visualized
             # pred_flow .npy)
             np.save(os.path.join(config["output_dir"],
-                                 f"pred_flow{i_frame}.npy"),
-                    estimation * scale)
+                                 f"pred_flow{i_frame}.npy"), est_scaled)
         if store is not None:
             store.record(i_frame, flow=estimation, t1=float(t1),
                          t2=float(t2), **err_nomask)

@@ -37,6 +37,14 @@ def bos_optical_flow(frame_a: np.ndarray, frame_b: np.ndarray, config: dict
         config["flags"])
 
 
+def _pad_flow(crop_flow: np.ndarray, pad_config: dict) -> np.ndarray:
+    """Zero-pad a crop-shaped ``[2, h, w]`` flow to the full frame."""
+    return np.pad(crop_flow,
+                  [(0, 0),
+                   (pad_config["pad_x0"], pad_config["pad_x1"]),
+                   (pad_config["pad_y0"], pad_config["pad_y1"])])
+
+
 class FrameFlowEstimator:
     """Dispatch over GT estimation methods (``frame_flow_estimator.py:30-42``)."""
 
@@ -51,14 +59,26 @@ class FrameFlowEstimator:
         return flow_2hw
 
     def estimate(self, method: str, frame0, frame1, frame2, config: dict):
+        """Full-resolution GT flow ``[2, H, W]`` for the evaluation loop.
+
+        Every branch returns the flow padded to the original frame size
+        (the reference pads only the one-step path, ``frame_flow_estimator
+        .py:70-95`` — its two-step and PIV branches return crop-shaped flow
+        that crashes the masked visualizations downstream; a latent defect
+        we fix by padding uniformly).
+        """
         if method == "opencv_flow":
             return self.opencv_farneback(frame1, frame2,
                                          config["params_opencv_flow"])
         if method == "opencv_flow_two_steps":
-            return self.opencv_farneback_two_step(frame0, frame1, frame2,
-                                                  config["params_opencv_flow"])
+            crop = self.opencv_farneback_two_step(
+                frame0, frame1, frame2, config["params_opencv_flow"])
+            return _pad_flow(crop, config["params_opencv_flow"])
         if method == "openpiv":
-            return self.consecutive_openpiv(frame1, frame2, config)
+            # consecutive_openpiv returns (flow, figure) for the
+            # event-grid-PIV path; the GT contract here is a bare array
+            flow, _fig = self.consecutive_openpiv(frame1, frame2, config)
+            return _pad_flow(np.asarray(flow), config["params_opencv_flow"])
         raise NotImplementedError(f"{method} is not supported")
 
     def opencv_farneback(self, frame1, frame2, params_opencv_flow,
@@ -73,11 +93,7 @@ class FrameFlowEstimator:
         # GT tooling stays on host (SURVEY §7): a device round-trip for a
         # trivial zero-pad costs an upload + a 7 MB fetch per frame over the
         # remote-TPU tunnel.
-        pad = np.pad(crop_flow,
-                     [(0, 0),
-                      (params_opencv_flow["pad_x0"], params_opencv_flow["pad_x1"]),
-                      (params_opencv_flow["pad_y0"], params_opencv_flow["pad_y1"])])
-        return self._orient(pad)
+        return self._orient(_pad_flow(crop_flow, params_opencv_flow))
 
     def opencv_farneback_two_step(self, frame0, frame1, frame2,
                                   params_opencv_flow) -> np.ndarray:

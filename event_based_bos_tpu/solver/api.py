@@ -41,19 +41,21 @@ logger = logging.getLogger(__name__)
 from ..types import bucket_capacity as _bucket_capacity
 
 
+def _clipped_iwe(ev: Events, image_shape, max_scale: jax.Array) -> jax.Array:
+    """IWE render → inverted clipped uint8 — matches the host formula
+    bit-for-bit: clip → truncating uint8 cast → inversion (255 − x).
+    Shared by the single-call jit and the fused render bundle."""
+    im = create_image_from_events(ev, image_shape, sigma=0)
+    return 255 - jnp.clip(max_scale * im, 0, 255).astype(jnp.uint8)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_clipped_iwe(image_shape):
     """Jitted IWE render → inverted uint8 (the eager per-primitive dispatch
     of this many-op program costs seconds per frame over the remote-TPU
     tunnel; jitted it is one dispatch and a small uint8 fetch)."""
-
-    def f(ev: Events, max_scale: jax.Array) -> jax.Array:
-        im = create_image_from_events(ev, image_shape, sigma=0)
-        # match the host formula bit-for-bit: clip → truncating uint8 cast
-        # → inversion (255 − x)
-        return 255 - jnp.clip(max_scale * im, 0, 255).astype(jnp.uint8)
-
-    return jax.jit(f)
+    return jax.jit(lambda ev, max_scale: _clipped_iwe(ev, image_shape,
+                                                      max_scale))
 
 
 @functools.lru_cache(maxsize=None)
@@ -87,22 +89,20 @@ def _jit_flow_error(masked: bool):
 def _jit_render_bundle(image_shape):
     """All per-frame visualization device work in ONE program: clipped IWE,
     event mask, and both Poisson-integration views (each extra dispatch
-    costs a full round trip over a remote-device link)."""
+    costs a full round trip over a remote-device link).  The Poisson views
+    are shape-agnostic (the two-step GT path yields crop-shaped flow)."""
     from ..ops.image_warp import standardize_image_center
-    from ..ops.poisson import poisson_reconstruct
+    from ..ops.poisson import poisson_integrate_flow
 
     def poisson_view(flow):
-        p = poisson_reconstruct(flow[1], flow[0],
-                                jnp.zeros(image_shape, jnp.float32))
+        p = poisson_integrate_flow(flow.astype(jnp.float32))
         return standardize_image_center(p).astype(jnp.uint8)
 
     def f(ev: Events, est_scaled: jax.Array, gt_flow: jax.Array,
           max_scale: jax.Array):
-        im = create_image_from_events(ev, image_shape, sigma=0)
-        clipped = 255 - jnp.clip(max_scale * im, 0, 255).astype(jnp.uint8)
-        mask = create_eventmask(ev, image_shape)
-        return (clipped, mask, poisson_view(est_scaled.astype(jnp.float32)),
-                poisson_view(gt_flow.astype(jnp.float32)))
+        return (_clipped_iwe(ev, image_shape, max_scale),
+                create_eventmask(ev, image_shape),
+                poisson_view(est_scaled), poisson_view(gt_flow))
 
     return jax.jit(f)
 

@@ -90,6 +90,7 @@ class TestTwoStep:
         cfg = {"params_opencv_flow": PARAMS}
         out1 = est.estimate("opencv_flow", bg, f1, f2, cfg)
         out2 = est.estimate("opencv_flow_two_steps", bg, f1, f2, cfg)
-        assert out1.shape[0] == 2 and out2.shape == (2, h, w)
+        # every estimate() branch pads to the full frame (crop + pads)
+        assert out1.shape == out2.shape == (2, h + 8, w + 6)
         with pytest.raises(NotImplementedError):
             est.estimate("nope", bg, f1, f2, cfg)

@@ -273,26 +273,28 @@ def test_sequential_mode(tiny_config):
     assert any(f.startswith("original") for f in os.listdir(out_dir))
 
 
-def test_sequential_estimate_mode(tiny_config, tmp_path):
-    """``run_mode: sequential_estimate`` runs the streaming estimation the
-    reference ships commented out (``bos_event.py:257-258``), with warm
-    starts carrying across windows."""
-    cfg_path, out_dir = tiny_config
+@pytest.mark.parametrize("gt_method", ["opencv_flow_two_steps", "openpiv"])
+def test_alternative_gt_methods_end_to_end(tiny_config, tmp_path, gt_method):
+    """The solver evaluation loop must work with every supported GT method:
+    the two-step path yields crop-shaped flow (the Poisson view must be
+    shape-agnostic) and the PIV path's estimator must return a bare array
+    (it returns (flow, figure) on the event-grid path)."""
+    cfg_path, _ = tiny_config
     cfg = yaml.safe_load(open(cfg_path))
-    cfg["run_mode"] = "sequential_estimate"
-    cfg["solver"]["warm_start"] = True
+    cfg["method"] = gt_method
+    out_dir = str(tmp_path / f"out_{gt_method}")
+    cfg["output_dir"] = out_dir
     cfg["solver"]["optimizer"]["n_iter"] = 12
-    cfg["evaluation"]["time_list"] = [[0.03, 0.08]]
-    p = tmp_path / "seqest.yaml"
+    cfg["evaluation"]["time_list"] = [[0.03, 0.12]]
+    p = tmp_path / f"{gt_method}.yaml"
     p.write_text(yaml.safe_dump(cfg))
-    rc = cli.main(["--config_file", str(p), "--log", "warning"])
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
     assert rc == 0
-    files = os.listdir(out_dir)
-    flows = [f for f in files if f.startswith("pred_flow")
-             and f.endswith(".npy")]
-    assert flows
-    arr = np.load(os.path.join(out_dir, flows[0]))
-    assert arr.shape[0] == 2 and np.isfinite(arr).all()
+    from event_based_bos_tpu.utils import read_flow_error_text
+
+    _pf, stats = read_flow_error_text(
+        os.path.join(out_dir, "flow_error_per_frame_without_mask.txt"))
+    assert np.isfinite(stats["EPE"]["mean"])
 
 
 def test_accumulate_mode(tiny_config, tmp_path):
