@@ -61,19 +61,23 @@ class FrameFlowEstimator:
     def estimate(self, method: str, frame0, frame1, frame2, config: dict):
         """Full-resolution GT flow ``[2, H, W]`` for the evaluation loop.
 
-        Every branch returns the flow padded to the original frame size
-        (the reference pads only the one-step path, ``frame_flow_estimator
-        .py:70-95`` — its two-step and PIV branches return crop-shaped flow
-        that crashes the masked visualizations downstream; a latent defect
-        we fix by padding uniformly).
+        Every branch returns the flow padded to the original frame size.
+        The reference's one-step and two-step branches already do (the
+        two-step path pads internally via the one-step helper,
+        ``frame_flow_estimator.py:60-61,94``); its ``openpiv`` branch calls
+        an undefined function and crashes (``frame_flow_estimator.py:39``) —
+        the working PIV here pads its crop-shaped result to match.
         """
         if method == "opencv_flow":
             return self.opencv_farneback(frame1, frame2,
                                          config["params_opencv_flow"])
         if method == "opencv_flow_two_steps":
-            crop = self.opencv_farneback_two_step(
+            # Already full-resolution: the two-step helper pads each
+            # one-step flow before Poisson integration, matching the
+            # reference's operation order (frame_flow_estimator.py:60-67
+            # pads via the one-step helper at :94).
+            return self.opencv_farneback_two_step(
                 frame0, frame1, frame2, config["params_opencv_flow"])
-            return _pad_flow(crop, config["params_opencv_flow"])
         if method == "openpiv":
             # consecutive_openpiv returns (flow, figure) for the
             # event-grid-PIV path; the GT contract here is a bare array
@@ -98,11 +102,24 @@ class FrameFlowEstimator:
     def opencv_farneback_two_step(self, frame0, frame1, frame2,
                                   params_opencv_flow) -> np.ndarray:
         """Background-anchored two-step flow via Poisson integrals
-        (``frame_flow_estimator.py:45-67``)."""
+        (``frame_flow_estimator.py:45-67``).
+
+        Operation order matches the reference exactly: each one-step flow is
+        zero-padded to the full frame *before* Poisson integration (the
+        reference's two-step calls its one-step helper, which pads at
+        ``frame_flow_estimator.py:94``), because the DST Poisson solution
+        depends globally on the integration domain — integrating over the
+        crop would change values even inside the crop.  The final Farnebäck
+        therefore runs at full resolution and the result needs no padding.
+        """
         from .visualizer import _poisson_view
 
-        f01 = bos_optical_flow(frame0, frame1, params_opencv_flow).transpose(2, 0, 1)
-        f02 = bos_optical_flow(frame0, frame2, params_opencv_flow).transpose(2, 0, 1)
+        def one_step_padded(a, b):
+            f = bos_optical_flow(a, b, params_opencv_flow).transpose(2, 0, 1)
+            return _pad_flow(f, params_opencv_flow)
+
+        f01 = one_step_padded(frame0, frame1)
+        f02 = one_step_padded(frame0, frame2)
 
         def integral(f):
             # one jitted device program (poisson DST + standardize → uint8)

@@ -100,7 +100,16 @@ class Timer:
                 time.perf_counter() - t0)
 
     def report(self) -> str:
-        total = sum(self.sections.values()) or 1.0
+        # Nested sections ("finalize/solve_wait") run inside their parent
+        # ("finalize"), so summing every section would count that time
+        # twice; the total only sums sections with no recorded ancestor.
+        def _has_parent(name):
+            parts = name.split("/")
+            return any("/".join(parts[:i]) in self.sections
+                       for i in range(1, len(parts)))
+
+        total = sum(v for k, v in self.sections.items()
+                    if not _has_parent(k)) or 1.0
         lines = [f"{k}: {v:.3f}s ({100*v/total:.1f}%)"
                  for k, v in sorted(self.sections.items(),
                                     key=lambda kv: -kv[1])]

@@ -70,15 +70,16 @@ class TestFarneback:
 class TestTwoStep:
     def test_two_step_runs_and_is_finite(self):
         """Background-anchored two-step flow (``frame_flow_estimator.py:45-67``):
-        Poisson-integrate both background→frame flows, Farnebäck between the
-        integrals."""
+        each one-step flow is padded to full resolution BEFORE the Poisson
+        integrals (the reference's operation order — its two-step calls the
+        padding one-step helper at :60-61), so the result is full-res."""
         h, w = 64, 48
         bg = _textured(h, w, seed=3)
         f1 = np.roll(bg, 1, axis=0)
         f2 = np.roll(bg, 2, axis=0)
         est = FrameFlowEstimator(None)
         flow = est.opencv_farneback_two_step(bg, f1, f2, PARAMS)
-        assert flow.shape == (2, h, w)
+        assert flow.shape == (2, h + 8, w + 6)
         assert np.isfinite(flow).all()
 
     def test_dispatch(self):
