@@ -207,9 +207,11 @@ def run_sampler(
       * ``grid`` / ``uniform`` — per-dimension linspace grid, cartesian
         product truncated/cycled to ``n_trials`` like GridSampler over the
         reference's per-key arange (``gml:238-255``).
-      * ``TPE`` — approximated by two-stage random search: half the budget
-        uniform, half resampled around the best decile (device-friendly
-        stand-in; optuna's sequential TPE cannot batch).
+      * ``TPE`` — **fallback only** (vmapped/mesh contexts): two-stage
+        random search — half the budget uniform, half resampled around the
+        best decile.  The single-frame GML facade routes ``TPE`` to the
+        true sequential sampler (:func:`..tpe.run_tpe`) instead; optuna's
+        sequential TPE cannot batch.
     """
     lo, hi = (jnp.asarray(b, jnp.float32) for b in bounds)
     dim = lo.shape[0]
@@ -234,6 +236,18 @@ def run_sampler(
         best = jnp.argmin(losses1)
         return OptResult(param=xs1[best], loss=losses1[best], best_iter=best,
                          history=losses1, last_param=xs1[best])
+
+    # Reaching here with "TPE" means a traced/vmapped context (multi-start
+    # lanes, mesh-batched frames) where the sequential host TPE
+    # (:mod:`.tpe`, used by the GML facade) cannot run — fall back to the
+    # batched two-stage approximation and say so at trace time.
+    if sampler == "TPE":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sampler 'TPE' inside a batched/traced context uses the "
+            "two-stage random-search approximation, not sequential optuna "
+            "TPE semantics (see docs/migration.md).")
 
     # "TPE"-style refinement: sample around the best-decile candidates.
     n2 = n_trials - n1

@@ -31,7 +31,7 @@ from ..ops.warp import warp_event
 from ..types import Events, events_from_ndarray
 from ..costs import normalized_image_variance
 from .generative import GenerativeSpec
-from .gml import GmlSpec, estimate_frame_gml
+from .gml import GmlSpec, estimate_frame_gml, make_host_tpe_solver
 from .patch import PatchSpec, estimate_frame_dependent, estimate_frame_patch
 from .pyramid import PyramidSpec, estimate_frame, roi_mask
 
@@ -228,6 +228,17 @@ class SolverBase:
         self._rng = jax.random.PRNGKey(int(self.slv_config.get("seed", 0)))
         self.iter_cnt = 0       # frames finalized (visualization counter)
         self.dispatch_cnt = 0   # frames dispatched (pipelined mode runs ahead)
+        # Serving-path wire options (docs/performance.md): quantized event
+        # upload (bit-exact for 1/32-px-aligned streams; silently falls back
+        # to float32 otherwise) and reduced-precision flow fetch.
+        self.wire_quantized = bool(self.slv_config.get("quantized_upload",
+                                                       False))
+        self._wire_needs_t = True   # pyramid facade overrides: t unused there
+        self._wire_decode_jit: dict = {}
+        self._wire_fell_back = False
+        fetch = str(self.slv_config.get("flow_fetch_dtype", "float32"))
+        self._fetch_dtype = {"float16": jnp.float16,
+                             "bfloat16": jnp.bfloat16}.get(fetch)
         logger.info("Solver configuration: %s", self.slv_config)
 
     # -- helpers ---------------------------------------------------------------
@@ -240,6 +251,24 @@ class SolverBase:
             return events
         arr = np.asarray(events)
         cap = _bucket_capacity(len(arr))
+        if self.wire_quantized:
+            from ..types import decode_wire_events, encode_wire_events
+
+            wire = encode_wire_events(arr, cap,
+                                      include_t=self._wire_needs_t)
+            if wire is not None:
+                key = (cap, "t_us" in wire)
+                fn = self._wire_decode_jit.get(key)
+                if fn is None:
+                    fn = jax.jit(functools.partial(decode_wire_events,
+                                                   dtype=self.dtype))
+                    self._wire_decode_jit[key] = fn
+                return fn(wire)
+            if not self._wire_fell_back:
+                self._wire_fell_back = True
+                logger.warning(
+                    "quantized_upload: batch has sub-1/32-px coordinates or "
+                    "out-of-range values — falling back to float32 uploads.")
         return events_from_ndarray(arr, capacity=cap, dtype=self.dtype)
 
     # -- main API ----------------------------------------------------------------
@@ -595,6 +624,11 @@ class GenerativeMaximumLikelihood(SolverBase):
                                                int(opt.get("n_iter", 600))),
         )
         self._jitted = {}
+        # True sequential TPE runs as a host-driven study (one small device
+        # program per trial, like the reference's optuna loop) — it cannot
+        # be one jitted program.  See solver/gml.py:make_host_tpe_solver.
+        self._tpe_solver = (make_host_tpe_solver(self.spec)
+                            if self.spec.method == "TPE" else None)
 
     def _solver_fn(self, capacity: int):
         if capacity not in self._jitted:
@@ -605,7 +639,12 @@ class GenerativeMaximumLikelihood(SolverBase):
     def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         ev = self._to_events(events)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
-        flow, aux = self._solver_fn(ev.capacity)(ev, frame, self._next_key())
+        if self._tpe_solver is not None:
+            seed = int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
+            flow, aux = self._tpe_solver(ev, frame, seed)
+        else:
+            flow, aux = self._solver_fn(ev.capacity)(ev, frame,
+                                                     self._next_key())
 
         def finalize() -> np.ndarray:
             if self.visualizer is not None:
@@ -701,6 +740,8 @@ class PatchEkltPyramid2(SolverBase):
             lr_decay=float(opt.get("lr_decay", 0.1)),
             track_best=bool(self.slv_config.get("track_best", True)),
             restrict_to_roi=bool(self.slv_config.get("restrict_to_roi", False)),
+            roi_margin=int(self.slv_config.get("roi_margin", 2)),
+            roi_norm_stride=int(self.slv_config.get("roi_norm_stride", 4)),
             record_evolution=_evolution_stride(self.slv_config,
                                                int(opt.get("n_iter", 600))),
             n_restarts=int(self.slv_config.get("n_restarts", 1)),
@@ -714,6 +755,10 @@ class PatchEkltPyramid2(SolverBase):
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}
         self._last_aux = None
+        # the pyramid solve consumes events only through the polarity
+        # histogram (x, y, p) — never timestamps — so the quantized wire
+        # omits t entirely (5 B/event instead of 17)
+        self._wire_needs_t = False
 
     def _solver_fn(self, capacity: int):
         # one jitted callable per capacity bucket; jax.jit itself re-traces
@@ -725,8 +770,19 @@ class PatchEkltPyramid2(SolverBase):
                 "first frame includes compilation (can take minutes on "
                 "remote backends; subsequent frames are milliseconds).",
                 capacity)
-            self._jitted[capacity] = jax.jit(
-                functools.partial(estimate_frame, spec=self.spec))
+            base = functools.partial(estimate_frame, spec=self.spec)
+            if self._fetch_dtype is not None:
+                fetch_dtype = self._fetch_dtype
+
+                def base(ev, frame, mask, key, prev_params=None,
+                         _inner=functools.partial(estimate_frame,
+                                                  spec=self.spec)):
+                    # cast the fetched flow inside the same program: halves
+                    # the device→host bytes of the serving path
+                    flow, aux = _inner(ev, frame, mask, key,
+                                       prev_params=prev_params)
+                    return flow.astype(fetch_dtype), aux
+            self._jitted[capacity] = jax.jit(base)
         return self._jitted[capacity]
 
     def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
@@ -770,7 +826,7 @@ class PatchEkltPyramid2(SolverBase):
                                              self.spec, self.iter_cnt,
                                              diff_scale=self._viz_diff_scale())
             self.iter_cnt += 1
-            return self._orient_flow(np.asarray(flow))
+            return self._orient_flow(np.asarray(flow, dtype=np.float32))
 
         self.dispatch_cnt += 1
         return EstimationHandle(finalize)

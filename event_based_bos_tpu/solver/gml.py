@@ -36,7 +36,8 @@ from .generative import (
     unfold_scalar_params,
 )
 
-__all__ = ["GmlSpec", "initialize_theta", "solve_gml", "estimate_frame_gml"]
+__all__ = ["GmlSpec", "initialize_theta", "solve_gml", "estimate_frame_gml",
+           "make_host_tpe_solver"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,3 +141,58 @@ def estimate_frame_gml(
     if spec.record_evolution > 0 and result.get("params_history") is not None:
         aux["theta_history"] = result["params_history"]
     return flow, aux
+
+
+def make_host_tpe_solver(spec: GmlSpec):
+    """Host-driven sequential TPE solve path (true optuna TPE semantics).
+
+    TPE is sequential — each proposal conditions on every previous trial's
+    loss — so it cannot live inside one jitted program like the batched
+    samplers.  This mirrors the reference's execution shape exactly: the
+    study loop runs on host (``gml:215-236``), the objective is one small
+    device program per trial.  The heavy per-frame state (measured
+    increment, frame gradients, weight maps) is prepared once in a single
+    jitted program and stays on device across all trials.
+    """
+    import numpy as np
+
+    from ..tpe import run_tpe
+
+    gen = spec.gen
+    x0r, x1r, y0r, y1r = spec.roi
+
+    @jax.jit
+    def prepare(ev: Events, frame: jax.Array):
+        frame = frame.astype(gen.dtype)
+        gx, gy = frame_gradients(frame, ksize=gen.sobel_ksize,
+                                 use_log_intensity=gen.use_log_intensity)
+        hist, weights, weight_inverse = iwe_cache(ev, gen)
+        measured = measured_increment(hist, weights, roi=spec.roi)
+        weights_roi = None if weights is None else weights[x0r:x1r, y0r:y1r]
+        return measured, weights_roi, weight_inverse, gx, gy
+
+    @jax.jit
+    def eval_theta(theta, measured, weights_roi, weight_inverse, gx, gy):
+        loss, _terms = scalar_objective(
+            theta, measured, gx, gy, weight_inverse, spec.roi, gen,
+            weights_roi=weights_roi)
+        return loss
+
+    def solve(ev: Events, frame: jax.Array, seed: int):
+        prep = prepare(ev, frame)
+
+        def objective(x: np.ndarray) -> float:
+            return float(eval_theta(jnp.asarray(x, gen.dtype), *prep))
+
+        lo = [b[0] for b in spec.param_bounds]
+        hi = [b[1] for b in spec.param_bounds]
+        result = run_tpe(objective, (lo, hi), spec.n_iter, seed=seed)
+        theta = jnp.asarray(result.param, gen.dtype)
+        vx, vy, _pxy = unfold_scalar_params(theta, gen)
+        flow = jnp.broadcast_to(jnp.stack([vx, vy])[:, None, None],
+                                (2,) + gen.image_size)
+        aux = {"theta": theta, "loss": result.loss,
+               "history": jnp.asarray(result.history, gen.dtype)}
+        return flow, aux
+
+    return solve
