@@ -136,6 +136,93 @@ def pad_events(ev: Events, capacity: int) -> Events:
     return Events(_pad(ev.x), _pad(ev.y), _pad(ev.t), _pad(ev.p), _pad(ev.valid))
 
 
+# ---------------------------------------------------------------------------
+# Quantized wire format (serving-path device upload)
+# ---------------------------------------------------------------------------
+#
+# Uploading events as 4×float32 + bool costs 17 B/event over the host↔device
+# link — the dominant serving cost on a slow tunnel (docs/performance.md).
+# Camera streams are natively integer-coordinate (the CCS HDF5 stores int16
+# x/y and int32 µs — ``ccs.py:50-69``; ``native/ebt_runtime.cpp:48-69``
+# already produces that SoA), so the wire format packs:
+#     x, y  → uint16 fixed-point (coordinate × 32: exact for 1/32-px-aligned
+#             coords up to 2047 px, which includes all integer raw streams)
+#     p     → int8 sign
+#     t     → OPTIONAL int32 µs relative to the window start (the pyramid
+#             solver never reads timestamps — its events enter only through
+#             the polarity histogram — so its facade omits t entirely)
+#     count → int32 scalar (validity mask is rebuilt on device)
+# = 5 B/event without t (3.4× fewer bytes), 9 B/event with t (1.9×).
+# The device-side decode reproduces the float32 ``Events`` BIT-EXACTLY when
+# the encoder reports ``exact`` (k/32 with k < 2^16 is representable in f32).
+
+WIRE_SUBPIXEL = 32
+
+
+def encode_wire_events(events: np.ndarray, capacity: int,
+                       include_t: bool = True):
+    """Host-side wire encoder; returns a dict of compact np arrays or
+    ``None`` when the batch cannot be represented exactly (sub-1/32-px
+    coordinates or out-of-range values) — callers fall back to the float32
+    upload."""
+    events = np.asarray(events)
+    n = min(len(events), capacity)
+    ev = events[:n]
+    if n == 0:
+        out = {"x_q": np.zeros(capacity, np.uint16),
+               "y_q": np.zeros(capacity, np.uint16),
+               "p": np.zeros(capacity, np.int8),
+               "count": np.int32(0)}
+        if include_t:
+            out["t_us"] = np.zeros(capacity, np.int32)
+            out["t0"] = np.float32(0)
+        return out
+    xs = ev[:, 0] * WIRE_SUBPIXEL
+    ys = ev[:, 1] * WIRE_SUBPIXEL
+    xq = np.rint(xs)
+    yq = np.rint(ys)
+    if (np.max(np.abs(xs - xq)) > 1e-3 or np.max(np.abs(ys - yq)) > 1e-3
+            or xq.min() < 0 or yq.min() < 0
+            or xq.max() >= 65536 or yq.max() >= 65536):
+        return None
+    out = {"x_q": np.zeros(capacity, np.uint16),
+           "y_q": np.zeros(capacity, np.uint16),
+           "p": np.zeros(capacity, np.int8),
+           "count": np.int32(n)}
+    out["x_q"][:n] = xq.astype(np.uint16)
+    out["y_q"][:n] = yq.astype(np.uint16)
+    out["p"][:n] = np.where(ev[:, 3] > 0, 1, -1).astype(np.int8)
+    if include_t:
+        t0 = float(ev[:, 2].min())
+        tus = np.rint((ev[:, 2] - t0) * 1e6)
+        if tus.max() >= 2**31:
+            return None
+        out["t_us"] = np.zeros(capacity, np.int32)
+        out["t_us"][:n] = tus.astype(np.int32)
+        out["t0"] = np.float32(t0)
+    return out
+
+
+def decode_wire_events(wire: dict, dtype=jnp.float32) -> Events:
+    """Device-side decode (jit this per capacity): rebuilds the float32
+    :class:`Events` from the quantized wire arrays.  Timestamps decode to
+    ``t0 + µs·1e-6`` (the same float32 resolution as the direct upload) or
+    to zeros when the producer omitted them."""
+    x_q = wire["x_q"]
+    cap = x_q.shape[-1]
+    scale = jnp.asarray(1.0 / WIRE_SUBPIXEL, dtype)
+    x = x_q.astype(dtype) * scale
+    y = wire["y_q"].astype(dtype) * scale
+    p = wire["p"].astype(dtype)
+    if "t_us" in wire:
+        t = wire["t0"].astype(dtype) + wire["t_us"].astype(dtype) * jnp.asarray(
+            1e-6, dtype)
+    else:
+        t = jnp.zeros((cap,), dtype)
+    valid = jnp.arange(cap) < wire["count"]
+    return Events(x, y, t, p, valid)
+
+
 @dataclasses.dataclass
 class FlowPatch:
     """Single patch descriptor (API parity with the reference's

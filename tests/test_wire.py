@@ -1,0 +1,159 @@
+"""Tests for the quantized serving wire format (types.encode/decode_wire_events).
+
+The serving path's dominant cost in this environment is host↔device bytes
+(docs/performance.md); the wire format packs integer-coordinate event streams
+into u16/i8 (+ optional i32 µs) and must decode BIT-EXACTLY to the float32
+``Events`` the direct upload would have produced.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from event_based_bos_tpu.types import (
+    Events,
+    decode_wire_events,
+    encode_wire_events,
+    events_from_ndarray,
+)
+
+from reference_harness import synthetic_scene
+
+H, W = 64, 96
+
+
+def _batch(n=5000, frac=1.0):
+    rng = np.random.default_rng(0)
+    x = np.floor(rng.uniform(0, H, n) * frac) / frac
+    y = np.floor(rng.uniform(0, W, n) * frac) / frac
+    t = np.sort(np.rint(rng.uniform(0, 0.01, n) * 1e6)) / 1e6  # µs-aligned
+    p = rng.choice([-1.0, 1.0], n)
+    return np.stack([x, y, t, p], axis=1)
+
+
+class TestWireRoundtrip:
+    def test_integer_coords_bit_exact(self):
+        arr = _batch()
+        cap = 8192
+        wire = encode_wire_events(arr, cap, include_t=True)
+        assert wire is not None
+        ev = decode_wire_events(wire)
+        ref = events_from_ndarray(arr, capacity=cap)
+        np.testing.assert_array_equal(np.asarray(ev.x), np.asarray(ref.x))
+        np.testing.assert_array_equal(np.asarray(ev.y), np.asarray(ref.y))
+        np.testing.assert_array_equal(np.asarray(ev.valid),
+                                      np.asarray(ref.valid))
+        # polarity decodes to ±1 — downstream only tests p > 0
+        assert ((np.asarray(ev.p)[:len(arr)] > 0)
+                == (arr[:, 3] > 0)).all()
+        # timestamps decode within 2 f32 ulps of the direct upload
+        np.testing.assert_allclose(np.asarray(ev.t)[:len(arr)],
+                                   np.asarray(ref.t)[:len(arr)], rtol=3e-7,
+                                   atol=1e-9)
+
+    def test_subpixel_32nd_exact(self):
+        arr = _batch(frac=32.0)
+        wire = encode_wire_events(arr, 8192)
+        assert wire is not None
+        ev = decode_wire_events(wire)
+        ref = events_from_ndarray(arr, capacity=8192)
+        np.testing.assert_array_equal(np.asarray(ev.x), np.asarray(ref.x))
+
+    def test_unrepresentable_falls_back(self):
+        arr = _batch()
+        arr[3, 0] += 0.01  # off the 1/32 grid
+        assert encode_wire_events(arr, 8192) is None
+        arr2 = _batch()
+        arr2[0, 0] = 3000.0  # fixed-point overflow at 32×
+        assert encode_wire_events(arr2, 8192) is None
+
+    def test_without_t(self):
+        arr = _batch()
+        wire = encode_wire_events(arr, 8192, include_t=False)
+        assert "t_us" not in wire
+        ev = decode_wire_events(wire)
+        assert np.asarray(ev.t).sum() == 0.0
+        assert int(ev.count()) == len(arr)
+
+    def test_wire_bytes(self):
+        arr = _batch()
+        wire = encode_wire_events(arr, 8192, include_t=False)
+        nbytes = sum(np.asarray(v).nbytes for v in wire.values())
+        f32 = 8192 * 17
+        assert nbytes < f32 / 3, (nbytes, f32)
+
+    def test_empty_batch(self):
+        wire = encode_wire_events(np.zeros((0, 4)), 4096)
+        ev = decode_wire_events(wire)
+        assert int(ev.count()) == 0
+
+
+def test_pyramid_facade_quantized_matches_f32():
+    """`quantized_upload: true` on the pyramid facade produces bitwise the
+    same flow as the float32 upload (integer-coordinate stream)."""
+    from event_based_bos_tpu.solver import collections
+
+    I1, _, events = synthetic_scene(H, W, du=(1.5, -0.8), n=20000)
+    cfg = {
+        "filter": {"filters": None,
+                   "parameters": {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W}},
+        "method": "patch_eklt_pyramid2",
+        "outer_padding": 0,
+        "cost_with_weight": {"diff_norm": 1.0, "image_gradient": 0.5,
+                             "flow_norm_pxy": 0.1},
+        "optimizer": {"method": "Adam", "n_iter": 24},
+        "generative_ml": {"weight_loss_by_event_hist": False,
+                          "weight_sigma": 5,
+                          "weight_loss_by_inverse_event_hist": True,
+                          "optimize_warp": True, "iwe_sigma": 2,
+                          "viz_diff_scale": [-0.25, 0.25],
+                          "no_polarity": False, "model_image": "current",
+                          "use_log_intensity": False, "poisson_model": True},
+        "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                       "do_event_thresholding": False, "event_thres": 8,
+                       "coarsest_patch_size": 16, "finest_patch_size": 8},
+    }
+    base = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    f_ref = base.estimate(events, None, frame=I1, background=I1)
+
+    qcfg = dict(cfg, quantized_upload=True)
+    q = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, qcfg, None)
+    assert q._wire_needs_t is False
+    f_q = q.estimate(events, None, frame=I1, background=I1)
+    np.testing.assert_array_equal(f_ref, f_q)
+
+
+def test_pyramid_facade_f16_fetch_close():
+    """`flow_fetch_dtype: float16` halves the fetched bytes; values agree
+    with f32 to half-precision rounding."""
+    from event_based_bos_tpu.solver import collections
+
+    I1, _, events = synthetic_scene(H, W, du=(1.5, -0.8), n=20000)
+    import copy
+
+    cfg = {
+        "filter": {"filters": None,
+                   "parameters": {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W}},
+        "method": "patch_eklt_pyramid2",
+        "outer_padding": 0,
+        "cost_with_weight": {"diff_norm": 1.0},
+        "optimizer": {"method": "Adam", "n_iter": 24},
+        "generative_ml": {"weight_loss_by_event_hist": False,
+                          "weight_sigma": 5,
+                          "weight_loss_by_inverse_event_hist": False,
+                          "optimize_warp": False, "iwe_sigma": 2,
+                          "viz_diff_scale": [-0.25, 0.25],
+                          "no_polarity": False, "model_image": "current",
+                          "use_log_intensity": False, "poisson_model": True},
+        "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                       "do_event_thresholding": False, "event_thres": 8,
+                       "coarsest_patch_size": 16, "finest_patch_size": 8},
+    }
+    base = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    f_ref = base.estimate(events, None, frame=I1, background=I1)
+    hcfg = copy.deepcopy(cfg)
+    hcfg["flow_fetch_dtype"] = "float16"
+    h = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, hcfg, None)
+    f_h = h.estimate(events, None, frame=I1, background=I1)
+    assert f_h.dtype == np.float32
+    scale = np.maximum(np.abs(f_ref), 1e-3)
+    assert (np.abs(f_h - f_ref) / scale).max() < 1.5e-3
