@@ -119,22 +119,32 @@ def evaluate_per_frames(config, loader, solv, viz):
         gml_cfg = config["solver"].get("generative_ml", {})
         if gml_cfg.get("model_image", "current") != "current":
             raise ValueError("mesh mode supports model_image: current")
-        if int(config["solver"].get("n_restarts", 1)) > 1:
-            raise ValueError(
-                "n_restarts > 1 is not applied by the mesh-batched step "
-                "(it calls the single-start pyramid solve per frame) — "
-                "drop either key.")
         mesh_E = int(mesh_cfg.get("event", 1))
-        if mesh_E & (mesh_E - 1):
+        if mesh_E < 1 or mesh_E & (mesh_E - 1):
             # event capacities are power-of-two buckets; a non-power-of-two
             # event axis would fail deep inside shard_map at the first step
             raise ValueError(f"mesh event axis must be a power of two to "
                              f"divide the padded event buckets, got {mesh_E}")
         mesh_B = int(mesh_cfg.get("data", 1))
         mesh = make_mesh((mesh_B, mesh_E))
-        batched_step = make_multichip_estimator(solv.spec, mesh)
-        logger.info("Multi-chip evaluation: mesh %s — %d frames per step.",
-                    dict(zip(mesh.axis_names, mesh.devices.shape)), mesh_B)
+        n_restarts = int(config["solver"].get("n_restarts", 1))
+        if n_restarts > 1:
+            # restarts (not frames) shard over the data axis: one frame per
+            # step, R/D restart lanes per chip, best-loss selection matching
+            # the single-chip multi-start exactly
+            from .parallel import make_multichip_multistart
+
+            batched_step = make_multichip_multistart(solv.spec, mesh)
+            mesh_B = 1
+            logger.info(
+                "Multi-chip multi-start: mesh %s — %d restarts sharded over "
+                "the data axis, one frame per step.",
+                dict(zip(mesh.axis_names, mesh.devices.shape)), n_restarts)
+        else:
+            batched_step = make_multichip_estimator(solv.spec, mesh)
+            logger.info(
+                "Multi-chip evaluation: mesh %s — %d frames per step.",
+                dict(zip(mesh.axis_names, mesh.devices.shape)), mesh_B)
 
     eval_config = config["evaluation"]
     common = config["common_params"]

@@ -28,7 +28,8 @@ from ..solver.pyramid import PyramidSpec, solve_pyramid
 from ..ops.gradients import frame_gradients
 from ..types import Events
 
-__all__ = ["sharded_polarity_votes", "make_multichip_estimator"]
+__all__ = ["sharded_polarity_votes", "make_multichip_estimator",
+           "make_multichip_multistart"]
 
 
 def sharded_polarity_votes(ev: Events, spec: GenerativeSpec,
@@ -54,6 +55,64 @@ def sharded_polarity_votes(ev: Events, spec: GenerativeSpec,
         return jax.lax.psum(pol, event_axis)
 
     return _votes(ev.x, ev.y, ev.t, ev.p, ev.valid)
+
+
+def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh):
+    """Multi-start pyramid solve with the restarts sharded across chips.
+
+    The embarrassingly-parallel case ``docs/performance.md`` promises: on
+    ONE chip, ``n_restarts: R`` costs superlinearly (R=8 ≈ 19× a single
+    solve — the vmapped lanes break the single-solve fusion layout); across
+    the mesh ``data`` axis each chip runs R/D restart lanes.  The IWE votes
+    are reduced over the ``event`` axis once and replicated; only the PRNG
+    keys (and therefore the random poisson-base inits, ``gml:425-450``)
+    differ between lanes.  Best-restart selection matches the single-chip
+    branch of :func:`..solver.pyramid.estimate_frame` exactly: lowest
+    min-loss (``track_best``) else lowest final loss of the finest scale.
+
+    The returned step shares the batched-step calling convention of
+    :func:`make_multichip_estimator` with B = 1 — ``step(ev [1, N],
+    frames [1, H, W], mask, keys [1]) -> (flow [1, 2, H, W],
+    per-scale histories [1, n_iter_s] of the winning restart)`` — so the
+    CLI's mesh loop drives either interchangeably.
+    """
+    gen = spec.gen
+    R = spec.n_restarts
+    if R < 2:
+        raise ValueError("make_multichip_multistart needs n_restarts > 1")
+    data_size = mesh.shape["data"]
+    if R % data_size:
+        raise ValueError(
+            f"n_restarts ({R}) must be divisible by the mesh data axis "
+            f"({data_size}) to shard the restart lanes evenly")
+
+    def step(ev: Events, frames: jax.Array, mask: jax.Array,
+             keys: jax.Array):
+        import jax.numpy as jnp
+
+        pol = sharded_polarity_votes(ev, gen, mesh, data_axis=None)[0]
+        hist, weights, weight_inverse = iwe_cache_from_votes(pol, gen)
+        gx, gy = frame_gradients(frames[0].astype(gen.dtype),
+                                 ksize=gen.sobel_ksize,
+                                 use_log_intensity=gen.use_log_intensity)
+        ks = jax.random.split(keys[0], R)
+        ks = jax.lax.with_sharding_constraint(
+            ks, NamedSharding(mesh, P("data")))
+        flows, auxes = jax.vmap(
+            lambda k: solve_pyramid(hist, weights, weight_inverse, gx, gy,
+                                    mask, k, spec)
+        )(ks)
+        flows = jax.lax.with_sharding_constraint(
+            flows, NamedSharding(mesh, P("data")))
+        final_hist = auxes["loss_history"][-1]  # [R, finest n_iter]
+        score = (jnp.min(final_hist, axis=-1) if spec.track_best
+                 else final_hist[:, -1])
+        best = jnp.argmin(score)
+        flow = flows[best][None]
+        hists = tuple(h[best][None] for h in auxes["loss_history"])
+        return flow, hists
+
+    return jax.jit(step)
 
 
 def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,

@@ -243,8 +243,40 @@ def test_mesh_mode_rejects_incompatible_config(tiny_config, tmp_path):
             cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
 
     run_with({"solver": {"warm_start": True}}, "warm_start", 0)
-    run_with({"solver": {"n_restarts": 8}}, "n_restarts", 1)
+    # restarts shard over the data axis — lane counts must divide evenly
+    run_with({"solver": {"n_restarts": 3}}, "divisible", 1)
     run_with({"mesh": {"data": 2, "event": 3}}, "power of two", 2)
+
+
+def test_mesh_mode_multistart(tiny_config, tmp_path):
+    """``n_restarts: 4`` + ``mesh:`` shards the restart lanes over the data
+    axis (one frame per step) and reproduces the single-chip multi-start
+    flows (same keys, same best-loss selection)."""
+    cfg_path, _ = tiny_config
+
+    def run(mesh, out_name):
+        cfg = yaml.safe_load(open(cfg_path))
+        cfg["solver"]["n_restarts"] = 4
+        if mesh:
+            cfg["mesh"] = mesh
+        out = str(tmp_path / out_name)
+        cfg["output_dir"] = out
+        p = tmp_path / f"{out_name}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+        assert rc == 0
+        return out
+
+    out_single = run(None, "ms_single")
+    out_mesh = run({"data": 4, "event": 2}, "ms_mesh")
+    flows = sorted(f for f in os.listdir(out_single)
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert flows
+    for f in flows:
+        a = np.load(os.path.join(out_single, f))
+        b = np.load(os.path.join(out_mesh, f))
+        denom = np.abs(a).max() + 1e-6
+        assert np.max(np.abs(a - b)) / denom < 0.05, f
 
 
 def test_warm_start_rejects_multistart(tiny_config):
