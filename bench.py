@@ -23,13 +23,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# persistent XLA compilation cache: repeat runs skip the ~5 min remote compile
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from event_based_bos_tpu.utils.misc import (  # noqa: E402
+    enable_persistent_cache_if_beneficial,
+)
+
+# On normal backends the persistent cache skips recompiles; on this remote
+# axon tunnel a cache HIT is measurably 3-6x slower than compiling fresh
+# (tools/coldstart_probe.py), so the helper only enables it where it helps.
+enable_persistent_cache_if_beneficial(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 H, W = 720, 1280
 ROI = (0, 720, 320, 960)

@@ -20,6 +20,39 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def enable_persistent_cache_if_beneficial(cache_dir: str) -> bool:
+    """Enable the persistent XLA compile cache — unless it would HURT.
+
+    On the remote "axon" TPU tunnel of this environment a persistent-cache
+    HIT makes cold start 3–6× *slower* than compiling fresh (measured,
+    ``tools/coldstart_probe.py`` + ``tests/goldens/coldstart_probe.json``:
+    full benchmark program = 21 s dispatch + 10 s first execution without
+    the cache vs 12 s dispatch + 82–181 s first execution on a hit — the
+    server reloads a deserialized executable slower than it compiles).  On
+    normal backends the cache is a pure win, so it is enabled everywhere
+    else.  ``EBT_PERSISTENT_CACHE=1/0`` forces either way.
+
+    Returns True when the cache was enabled.
+    """
+    import os
+
+    import jax
+
+    force = os.environ.get("EBT_PERSISTENT_CACHE")
+    if force is not None:
+        enable = force != "0"
+    else:
+        enable = jax.default_backend() != "axon"
+    if enable:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    else:
+        logger.info("Persistent XLA cache disabled on this backend (cache "
+                    "hits reload slower than fresh compiles here; set "
+                    "EBT_PERSISTENT_CACHE=1 to force).")
+    return enable
+
+
 def fix_random_seed(seed: int = 46) -> None:
     """Seed host RNGs (``misc.py:19-25``).  Device randomness in this
     framework is explicit ``jax.random`` keys, which callers derive from the

@@ -23,8 +23,11 @@ sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from event_based_bos_tpu.utils.misc import (  # noqa: E402
+    enable_persistent_cache_if_beneficial,
+)
+
+enable_persistent_cache_if_beneficial(os.path.join(REPO, ".jax_cache"))
 
 import jax.numpy as jnp  # noqa: E402
 
