@@ -25,7 +25,7 @@ import numpy as np
 from .ops.image_warp import resize_bilinear, sample_bilinear
 from .utils.config import PivSettings
 
-__all__ = ["piv_pass", "piv_multipass"]
+__all__ = ["piv_pass", "piv_multipass", "smoothn"]
 
 
 def _window_grid(shape, window: int, overlap: int):
@@ -192,18 +192,36 @@ def _replace_localmean(u, v, bad, iterations: int, ksize: int):
     return u, v
 
 
-def _smooth(f: jax.Array, p: float) -> jax.Array:
-    """Light penalized smoothing (stand-in for OpenPIV's smoothn)."""
-    kernel = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], f.dtype) / 16.0
-    sm = jax.lax.conv_general_dilated(
-        f[None, None], kernel[None, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    alpha = jnp.clip(p * 10.0, 0.0, 1.0)
-    return (1 - alpha) * f + alpha * sm
+def smoothn(f: jax.Array, s: float) -> jax.Array:
+    """DCT penalized-least-squares smoothing (Garcia 2010, "Robust smoothing
+    of gridded data in one and higher dimensions with missing values").
+
+    This is the algorithm OpenPIV's ``smoothn.smoothn(u, s=settings
+    .smoothn_p)`` applies between PIV passes (reference
+    ``frame_utils.py:253-255,289-291`` with the fixed ``smoothn_p = 0.05``
+    from ``config_utils.py:223-224``).  With a given ``s`` and uniform
+    weights (the PIV fields are fully valid after localmean replacement) the
+    solution is a single DCT-domain filter:
+
+        z = IDCT( Γ ⊙ DCT(y) ),   Γ = 1 / (1 + s·Λ²),
+        Λ[i, j] = (−2 + 2cos(πi/n)) + (−2 + 2cos(πj/m))
+
+    — the eigenvalues of the discrete Laplacian under Neumann (DCT-II)
+    boundary conditions.  Validated against an independent scipy.fft
+    implementation of the same formula (``tests/test_ops_flow.py``).
+    """
+    from jax.scipy import fft as jfft
+
+    n, m = f.shape
+    lam = ((-2.0 + 2.0 * jnp.cos(jnp.pi * jnp.arange(n) / n))[:, None]
+           + (-2.0 + 2.0 * jnp.cos(jnp.pi * jnp.arange(m) / m))[None, :])
+    gamma = (1.0 / (1.0 + s * lam * lam)).astype(f.dtype)
+    return jfft.idctn(gamma * jfft.dctn(f, norm="ortho"), norm="ortho")
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _one_iteration(frame_a, frame_b, window, overlap, settings_tuple, prev_dense):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
+def _one_iteration(frame_a, frame_b, window, overlap, settings_tuple,
+                   prev_dense, is_last=False):
     settings = PivSettings(*settings_tuple)
     h, w = frame_a.shape
     if prev_dense is not None:
@@ -232,9 +250,12 @@ def _one_iteration(frame_a, frame_b, window, overlap, settings_tuple, prev_dense
     if settings.replace_vectors:
         u, v = _replace_localmean(u, v, bad, settings.max_filter_iteration,
                                   settings.filter_kernel_size)
-    if settings.smoothn:
-        u = _smooth(u, settings.smoothn_p)
-        v = _smooth(v, settings.smoothn_p)
+    if settings.smoothn and not is_last:
+        # OpenPIV smooths after the first pass and between multipass
+        # iterations, but not after the final one (``frame_utils.py:
+        # 253-255`` vs ``:289-291`` — the `i < num_iterations - 1` guard)
+        u = smoothn(u, settings.smoothn_p)
+        v = smoothn(v, settings.smoothn_p)
     dense = jnp.stack([resize_bilinear(u, (h, w)), resize_bilinear(v, (h, w))])
     return dense
 
@@ -259,10 +280,11 @@ def piv_multipass(frame_a: np.ndarray, frame_b: np.ndarray,
 
     st = tuple(getattr(settings, f.name) for f in settings.__dataclass_fields__.values())
     dense = None
-    for window, overlap in zip(settings.windowsizes, settings.overlap):
-        if min(fa_c.shape) < window:
-            continue
-        dense = _one_iteration(fa_c, fb_c, int(window), int(overlap), st, dense)
+    passes = [(w_, o_) for w_, o_ in zip(settings.windowsizes, settings.overlap)
+              if min(fa_c.shape) >= w_]
+    for k, (window, overlap) in enumerate(passes):
+        dense = _one_iteration(fa_c, fb_c, int(window), int(overlap), st,
+                               dense, k == len(passes) - 1)
     if dense is None:
         raise ValueError("Frames smaller than every interrogation window")
     out = np.zeros((2,) + tuple(fa.shape), np.float32)

@@ -337,6 +337,51 @@ class TestPIVAccuracy:
         err_r = np.abs(flow[1][inner] - 0.8).mean()
         assert err_r < 0.1 and err_c < 0.1, (err_r, err_c)
 
+    def test_smoothn_matches_garcia_dct_formula(self):
+        """``piv.smoothn`` == an independent scipy.fft implementation of
+        Garcia-2010 (the algorithm behind OpenPIV's ``smoothn.smoothn`` with
+        a fixed ``s`` and uniform weights — the configuration the reference
+        uses, ``frame_utils.py:253-255`` with ``smoothn_p = 0.05``)."""
+        import scipy.fft as sfft
+
+        from event_based_bos_tpu.piv import smoothn
+
+        rng = np.random.default_rng(5)
+        y = rng.normal(size=(17, 23))
+        s = 0.05
+        n, m = y.shape
+        lam = ((-2 + 2 * np.cos(np.pi * np.arange(n) / n))[:, None]
+               + (-2 + 2 * np.cos(np.pi * np.arange(m) / m))[None, :])
+        want = sfft.idctn((1 / (1 + s * lam**2)) * sfft.dctn(y, norm="ortho"),
+                          norm="ortho")
+        got = np.asarray(smoothn(jnp.asarray(y), s))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # smoothing properties: constants are fixed points; noise shrinks
+        # monotonically with s
+        const = np.asarray(smoothn(jnp.full((12, 12), 3.5), 1.0))
+        np.testing.assert_allclose(const, 3.5, atol=1e-5)
+        r1 = np.asarray(smoothn(jnp.asarray(y), 0.05)).std()
+        r2 = np.asarray(smoothn(jnp.asarray(y), 5.0)).std()
+        assert r2 < r1 < y.std()
+
+    def test_piv_with_smoothn_still_subtenth_pixel(self):
+        """``smoothn: true`` (the reference's shipped PIV default,
+        ``config_utils.py:223``) keeps the multipass accuracy on the uniform
+        particle-pair fixture — smoothing between passes must not bias a
+        uniform field."""
+        from event_based_bos_tpu.piv import piv_multipass
+        from event_based_bos_tpu.utils.config import PivSettings
+
+        dr, dc = 2.3, -1.7
+        a, b = self._pair(lambda p: np.tile([[dr, dc]], (len(p), 1)))
+        settings = PivSettings(windowsizes=(64, 32), overlap=(32, 16),
+                               smoothn=True, smoothn_p=0.05)
+        flow = piv_multipass(a, b, settings)
+        inner = (slice(32, 96), slice(32, 128))
+        err_c = np.abs(flow[0][inner] - dc).mean()
+        err_r = np.abs(flow[1][inner] - dr).mean()
+        assert err_r < 0.1 and err_c < 0.1, (err_r, err_c)
+
     def test_replace_localmean_iterative_erosion(self):
         """Hole filling erodes inward per round (OpenPIV replace_nans
         semantics), with the global-mean fallback for unfilled cells."""
