@@ -7,7 +7,11 @@ run entirely on TPU:
     ``patch_eklt_pyramid2.py:259-288``) → :func:`run_first_order` (optax
     Adam/SGD/etc. + StepLR schedule + best-iterate tracking).
   * vendored scipy+autograd ``minimize`` (``src/solver/scipy_autograd/``)
-    → :func:`run_lbfgs` (optax L-BFGS with zoom line search).
+    → per method family (:func:`run_scipy_method`): quasi-Newton names →
+    :func:`run_lbfgs` (optax L-BFGS, zoom line search), derivative-free
+    names → :func:`run_nelder_mead` (simplex scan), Hessian/HVP names →
+    :func:`run_newton_cg` (CG on jvp-of-grad Hessian products, mirroring
+    the torch wrapper's ``vhp`` path, ``torch_wrapper.py:51-73``).
   * optuna samplers (``generative_max_likelihood.py:215-276``)
     → :func:`run_sampler` (random / grid batched objective evaluation,
     vmapped so all trials execute as one device program).
@@ -26,8 +30,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["OptResult", "run_first_order", "run_lbfgs", "run_sampler",
+__all__ = ["OptResult", "run_first_order", "run_lbfgs", "run_nelder_mead",
+           "run_newton_cg", "run_scipy_method", "run_sampler",
            "make_optimizer", "FIRST_ORDER_METHODS", "QUASI_NEWTON_METHODS",
+           "DERIVATIVE_FREE_METHODS", "HESSIAN_METHODS", "SCIPY_METHODS",
            "SAMPLER_METHODS"]
 
 # Torch-optimizer names accepted by the reference (``src/solver/base.py:37-51``)
@@ -47,11 +53,25 @@ FIRST_ORDER_METHODS = {
 }
 
 # scipy.optimize methods accepted by the reference (``src/solver/base.py:20-35``)
-# — all quasi-Newton style entry points route to L-BFGS on device.
-QUASI_NEWTON_METHODS = (
-    "BFGS", "L-BFGS-B", "LBFGS", "CG", "Newton-CG", "TNC", "SLSQP",
-    "trust-constr", "Powell", "Nelder-Mead",
-)
+# mapped per family (round 3 — the per-method table lives in
+# docs/migration.md):
+#   * quasi-Newton / gradient methods → optax L-BFGS with zoom line search,
+#   * derivative-free methods → an on-device Nelder-Mead simplex scan,
+#   * Hessian/HVP methods → Newton-CG with jvp-of-grad Hessian products.
+QUASI_NEWTON_METHODS = ("BFGS", "L-BFGS-B", "LBFGS", "CG", "SLSQP")
+DERIVATIVE_FREE_METHODS = ("Nelder-Mead", "Powell")
+HESSIAN_METHODS = ("Newton-CG", "TNC", "trust-constr")
+SCIPY_METHODS = (QUASI_NEWTON_METHODS + DERIVATIVE_FREE_METHODS
+                 + HESSIAN_METHODS)
+
+
+def run_scipy_method(objective, x0, n_iter, method, bounds=None) -> "OptResult":
+    """Route a scipy method name to its on-device family implementation."""
+    if method in DERIVATIVE_FREE_METHODS:
+        return run_nelder_mead(objective, x0, n_iter, bounds=bounds)
+    if method in HESSIAN_METHODS:
+        return run_newton_cg(objective, x0, n_iter, bounds=bounds)
+    return run_lbfgs(objective, x0, n_iter, bounds=bounds)
 
 SAMPLER_METHODS = ("random", "grid", "uniform", "TPE")
 
@@ -185,6 +205,143 @@ def run_lbfgs(
     use_final = final_loss < best_loss
     # when the post-loop iterate wins, report the last valid history index
     # (n_iter - 1) so best_iter always indexes `history`
+    return OptResult(param=jnp.where(use_final, x, best_x),
+                     loss=jnp.minimum(final_loss, best_loss),
+                     best_iter=jnp.where(use_final,
+                                         jnp.asarray(n_iter - 1, jnp.int32),
+                                         best_it),
+                     history=history, last_param=x)
+
+
+def run_nelder_mead(
+    objective: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_iter: int = 100,
+    bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> OptResult:
+    """Derivative-free Nelder-Mead simplex, fully on device.
+
+    The honest mapping for the reference's ``Nelder-Mead`` / ``Powell``
+    scipy methods (previously routed to L-BFGS — a semantic change for
+    derivative-free requests).  Standard coefficients (ρ=1, χ=2, ψ=0.5,
+    σ=0.5) and scipy's initial simplex (x0 ± 5% per coordinate, 0.00025
+    for zero coordinates).  The update is branchless — reflection,
+    expansion, both contractions and the shrunk simplex are all evaluated
+    each iteration and selected with ``where`` (d ≤ 4 for every solver
+    here, so the extra evaluations are trivial next to a scan's worth of
+    control flow) — making the whole loop one ``lax.scan``.
+    """
+    d = x0.shape[0]
+    rho, chi, psi, sigma = 1.0, 2.0, 0.5, 0.5
+
+    def project(x):
+        return jnp.clip(x, bounds[0], bounds[1]) if bounds is not None else x
+
+    pert = jnp.where(x0 != 0, x0 * 0.05, 0.00025)
+    simplex = jnp.concatenate(
+        [x0[None], x0[None] + jnp.diag(pert)], axis=0)
+    simplex = project(simplex)
+    fvals = jax.vmap(objective)(simplex)
+
+    def step(carry, _it):
+        simplex, fvals = carry
+        order = jnp.argsort(fvals)
+        simplex = simplex[order]
+        fvals = fvals[order]
+        xbar = jnp.mean(simplex[:d], axis=0)
+        worst = simplex[d]
+
+        xr = project(xbar + rho * (xbar - worst))
+        xe = project(xbar + rho * chi * (xbar - worst))
+        xoc = project(xbar + psi * rho * (xbar - worst))
+        xic = project(xbar - psi * (xbar - worst))
+        fr, fe, foc, fic = (objective(xr), objective(xe), objective(xoc),
+                            objective(xic))
+
+        # single-point replacement candidate per the NM decision tree
+        expand = fr < fvals[0]
+        new_x = jnp.where(expand & (fe < fr), xe, xr)
+        new_f = jnp.where(expand & (fe < fr), fe, fr)
+        use_oc = (fr >= fvals[d - 1]) & (fr < fvals[d])
+        new_x = jnp.where(use_oc, xoc, new_x)
+        new_f = jnp.where(use_oc, foc, new_f)
+        use_ic = fr >= fvals[d]
+        new_x = jnp.where(use_ic, xic, new_x)
+        new_f = jnp.where(use_ic, fic, new_f)
+        # shrink when the selected contraction failed to improve
+        shrink = (use_oc & (foc > fr)) | (use_ic & (fic >= fvals[d]))
+
+        replaced = simplex.at[d].set(new_x)
+        freplaced = fvals.at[d].set(new_f)
+        shrunk = project(simplex[0][None] + sigma * (simplex - simplex[0]))
+        fshrunk = jax.vmap(objective)(shrunk)
+        simplex = jnp.where(shrink, shrunk, replaced)
+        fvals = jnp.where(shrink, fshrunk, freplaced)
+        return (simplex, fvals), jnp.min(fvals)
+
+    (simplex, fvals), history = jax.lax.scan(
+        step, (simplex, fvals), jnp.arange(n_iter, dtype=jnp.int32))
+    best = jnp.argmin(fvals)
+    return OptResult(param=simplex[best], loss=fvals[best],
+                     best_iter=jnp.asarray(n_iter - 1, jnp.int32),
+                     history=history, last_param=simplex[best])
+
+
+def run_newton_cg(
+    objective: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_iter: int = 50,
+    cg_iters: int = 10,
+    bounds: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> OptResult:
+    """Truncated-Newton via CG on Hessian-vector products.
+
+    The honest mapping for the reference's ``Newton-CG`` / ``TNC`` /
+    ``trust-constr`` scipy methods, whose torch wrapper supplies HVPs
+    (``scipy_autograd/torch_wrapper.py:51-73``); here the HVP is
+    ``jvp``-of-``grad`` (exact, one extra forward-over-reverse pass).  Each
+    outer iteration CG-solves ``H d = −g`` (fixed ``cg_iters`` inner
+    steps) and takes the largest backtracking step satisfying Armijo
+    (branchless: all 8 candidate steps evaluated, first passing one
+    selected; no pass → iterate unchanged).
+    """
+    grad_fn = jax.grad(objective)
+
+    def project(x):
+        return jnp.clip(x, bounds[0], bounds[1]) if bounds is not None else x
+
+    ts = 0.5 ** jnp.arange(8, dtype=x0.dtype)
+
+    def step(carry, it):
+        x, best_x, best_loss, best_it = carry
+        f0 = objective(x)
+        g = grad_fn(x)
+
+        def hvp(v):
+            return jax.jvp(grad_fn, (x,), (v,))[1]
+
+        d, _ = jax.scipy.sparse.linalg.cg(hvp, -g, maxiter=cg_iters)
+        # fall back to steepest descent on a non-finite or ascent direction
+        ok = jnp.all(jnp.isfinite(d)) & (jnp.dot(d, g) < 0)
+        d = jnp.where(ok, d, -g)
+        cand = project(x[None] + ts[:, None] * d[None])
+        fc = jax.vmap(objective)(cand)
+        armijo = fc <= f0 + 1e-4 * ts * jnp.dot(grad_fn(x), d)
+        idx = jnp.argmax(armijo)  # first (largest) passing step
+        any_ok = jnp.any(armijo)
+        x_new = jnp.where(any_ok, cand[idx], x)
+        better = f0 < best_loss
+        best_x = jnp.where(better, x, best_x)
+        best_loss = jnp.minimum(f0, best_loss)
+        best_it = jnp.where(better, it, best_it)
+        return (x_new, best_x, best_loss, best_it), f0
+
+    init = (project(x0), x0, jnp.asarray(jnp.inf, x0.dtype),
+            jnp.asarray(0, jnp.int32))
+    (x, best_x, best_loss, best_it), history = jax.lax.scan(
+        step, init, jnp.arange(n_iter, dtype=jnp.int32))
+    final_loss = objective(x)
+    use_final = final_loss < best_loss
     return OptResult(param=jnp.where(use_final, x, best_x),
                      loss=jnp.minimum(final_loss, best_loss),
                      best_iter=jnp.where(use_final,

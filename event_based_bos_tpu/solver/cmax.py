@@ -30,11 +30,11 @@ from .. import costs as costs_mod
 from ..ops.iwe import bilinear_vote, gaussian_blur
 from ..ops.warp import warp_event_2dof, warp_event_dense_flow, calculate_reftime
 from ..optim import (
-    QUASI_NEWTON_METHODS,
     SAMPLER_METHODS,
+    SCIPY_METHODS,
     run_first_order,
-    run_lbfgs,
     run_sampler,
+    run_scipy_method,
 )
 from ..types import Events, PatchGrid
 from .generative import patch_to_dense
@@ -164,8 +164,9 @@ def solve_cmax_translation(ev: Events, key: jax.Array, spec: CmaxSpec,
         x0 = jnp.zeros((2,), spec.dtype)
     # param_bounds are honored on every path: samplers draw inside the box,
     # the quasi-Newton and first-order loops project each iterate onto it.
-    if spec.method in QUASI_NEWTON_METHODS:
-        result = run_lbfgs(objective, x0, spec.n_iter, bounds=(lo, hi))
+    if spec.method in SCIPY_METHODS:
+        result = run_scipy_method(objective, x0, spec.n_iter, spec.method,
+                                  bounds=(lo, hi))
     else:
         result = run_first_order(objective, x0, spec.n_iter, spec.method,
                                  lr=spec.lr, lr_decay=spec.lr_decay,

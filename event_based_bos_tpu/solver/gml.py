@@ -6,8 +6,11 @@ parameters [angle | vx, vy] (+ optional global pattern shift p_x, p_y), fitted
 by an on-device optimizer:
 
   * torch-optimizer names → optax first-order scan (``gml:306-341``),
-  * scipy methods → optax L-BFGS (``gml:278-304``),
-  * optuna samplers → batched random/grid search (``gml:215-276``).
+  * scipy methods → per-family on-device loops (``gml:278-304``):
+    quasi-Newton → optax L-BFGS, Nelder-Mead/Powell → simplex scan,
+    Newton-CG/TNC/trust-constr → HVP Newton-CG,
+  * optuna samplers → batched random/grid search (``gml:215-276``) or the
+    true sequential TPE study (:mod:`..tpe`) via the facade.
 """
 
 from __future__ import annotations
@@ -21,11 +24,11 @@ import jax.numpy as jnp
 from ..ops.gradients import frame_gradients
 from ..optim import (
     FIRST_ORDER_METHODS,
-    QUASI_NEWTON_METHODS,
     SAMPLER_METHODS,
+    SCIPY_METHODS,
     run_first_order,
-    run_lbfgs,
     run_sampler,
+    run_scipy_method,
 )
 from ..types import Events
 from .generative import (
@@ -108,8 +111,10 @@ def solve_gml(
                                  lr=spec.lr, lr_decay=spec.lr_decay,
                                  track_best=spec.track_best,
                                  record_every=spec.record_evolution)
-    elif spec.method in QUASI_NEWTON_METHODS:
-        result = run_lbfgs(objective, x0, spec.n_iter)
+    elif spec.method in SCIPY_METHODS:
+        # family routing: quasi-Newton → L-BFGS, derivative-free →
+        # Nelder-Mead, Hessian/HVP → Newton-CG (docs/migration.md table)
+        result = run_scipy_method(objective, x0, spec.n_iter, spec.method)
     else:
         raise KeyError(f"Unknown optimizer method {spec.method!r}")
     return result.param, result
