@@ -146,6 +146,7 @@ def _generative_spec(orig_image_shape, solver_config, dtype) -> GenerativeSpec:
     return GenerativeSpec(
         warp_stencil_radius=int(solver_config.get("warp_stencil_radius", 1)),
         compute_dtype=compute_dtype,
+        warp_compute_bf16=bool(solver_config.get("warp_compute_bf16", False)),
         image_size=tuple(orig_image_shape),
         no_polarity=bool(g.get("no_polarity", False)),
         iwe_sigma=float(g.get("iwe_sigma", 0) or 0),
