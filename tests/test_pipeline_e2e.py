@@ -189,6 +189,39 @@ def test_serving_mode_no_visuals(tiny_config, tmp_path):
                                       np.load(os.path.join(out_dir, f)))
 
 
+def test_serving_wire_mode_bit_identical(tiny_config, tmp_path):
+    """`quantized_upload` + `flow_fetch_dtype: float16` through the full
+    CLI: the quantized upload is bit-exact (integer-coordinate synthetic
+    stream), so only the f16 fetch perturbs the flow — within
+    half-precision rounding of the plain serving run."""
+    cfg_path, _ = tiny_config
+
+    def run(wire, out_name):
+        cfg = yaml.safe_load(open(cfg_path))
+        cfg["visualize"] = False
+        if wire:
+            cfg["solver"]["quantized_upload"] = True
+            cfg["solver"]["flow_fetch_dtype"] = "float16"
+        out = str(tmp_path / out_name)
+        cfg["output_dir"] = out
+        p = tmp_path / f"{out_name}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+        assert rc == 0
+        return out
+
+    out_plain = run(False, "wire_plain")
+    out_wire = run(True, "wire_quant")
+    flows = sorted(f for f in os.listdir(out_plain)
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert flows
+    for f in flows:
+        a = np.load(os.path.join(out_plain, f))
+        b = np.load(os.path.join(out_wire, f))
+        scale = np.maximum(np.abs(a), 1e-3)
+        assert (np.abs(a - b) / scale).max() < 1.5e-3, f
+
+
 def test_mesh_mode_multichip_evaluation(tiny_config, tmp_path):
     """``mesh: {data: 2, event: 4}`` solves 2 frames per step data-parallel
     over the 8-virtual-device mesh (event-axis psum IWE + vmapped pyramid
