@@ -21,35 +21,32 @@ logger = logging.getLogger(__name__)
 
 
 def enable_persistent_cache_if_beneficial(cache_dir: str) -> bool:
-    """Enable the persistent XLA compile cache — unless it would HURT.
+    """Enable the persistent XLA compile cache (``EBT_PERSISTENT_CACHE=0``
+    disables).
 
-    On the remote "axon" TPU tunnel of this environment a persistent-cache
-    HIT makes cold start 3–6× *slower* than compiling fresh (measured,
-    ``tools/coldstart_probe.py`` + ``tests/goldens/coldstart_probe.json``:
-    full benchmark program = 21 s dispatch + 10 s first execution without
-    the cache vs 12 s dispatch + 82–181 s first execution on a hit — the
-    server reloads a deserialized executable slower than it compiles).  On
-    normal backends the cache is a pure win, so it is enabled everywhere
-    else.  ``EBT_PERSISTENT_CACHE=1/0`` forces either way.
+    Measurement note for this environment's remote "axon" TPU tunnel
+    (``tools/coldstart_probe.py`` + ``tests/goldens/coldstart_probe.json``):
+    the first execution of the big solve program in a fresh process stalls
+    anywhere from 10 s to 24 min with a heavy-tailed distribution that is
+    **independent of this cache** (interleaved A/B over 4+4 fresh
+    processes: cache-off sampled 10/35/631/1000+ s, cache-on sampled
+    82/181/558/1450 s — statistically indistinguishable; the wait is
+    server-side program load/autotune, not client compilation).  The cache
+    still cuts the client dispatch time (~20 s → ~8 s) and is standard
+    practice on normal backends, so it stays on by default; amortize the
+    server-side stall by processing sequences, not frames, per process
+    (``resume: true``).
 
     Returns True when the cache was enabled.
     """
     import os
 
-    import jax
+    import jax  # noqa: F401  (callers expect jax initialized)
 
-    force = os.environ.get("EBT_PERSISTENT_CACHE")
-    if force is not None:
-        enable = force != "0"
-    else:
-        enable = jax.default_backend() != "axon"
+    enable = os.environ.get("EBT_PERSISTENT_CACHE", "1") != "0"
     if enable:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    else:
-        logger.info("Persistent XLA cache disabled on this backend (cache "
-                    "hits reload slower than fresh compiles here; set "
-                    "EBT_PERSISTENT_CACHE=1 to force).")
     return enable
 
 

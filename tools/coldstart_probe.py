@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Cold-start stall characterization (VERDICT r2 #5).
 
-A fresh process pays a one-time multi-minute stall on the FIRST execution of
-the big solve program on this remote ("axon") TPU backend — even when the
-client's persistent XLA cache hits (commit 7269041 showed the wait is
-server-side program load/compile, not client compilation).  This probe runs
-one variant per fresh subprocess and records:
+A fresh process pays a one-time stall of 10 s – 24 min on the FIRST
+execution of the big solve program on this remote ("axon") TPU backend.
+Interleaved A/B sampling (results in the goldens JSON, ``ab_interleaved``)
+shows the stall distribution is heavy-tailed and INDEPENDENT of the client
+persistent cache — it is server-side program load/autotune, not client
+compilation.  This probe runs one variant per fresh subprocess and records:
 
   * ``dispatch_s`` — time for the jitted call to return (client trace+lower,
     persistent-cache hits make this seconds),
