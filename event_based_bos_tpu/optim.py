@@ -326,7 +326,7 @@ def run_newton_cg(
         d = jnp.where(ok, d, -g)
         cand = project(x[None] + ts[:, None] * d[None])
         fc = jax.vmap(objective)(cand)
-        armijo = fc <= f0 + 1e-4 * ts * jnp.dot(grad_fn(x), d)
+        armijo = fc <= f0 + 1e-4 * ts * jnp.dot(g, d)
         idx = jnp.argmax(armijo)  # first (largest) passing step
         any_ok = jnp.any(armijo)
         x_new = jnp.where(any_ok, cand[idx], x)

@@ -76,10 +76,22 @@ def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh):
     per-scale histories [1, n_iter_s] of the winning restart)`` — so the
     CLI's mesh loop drives either interchangeably.
     """
+    import dataclasses
+
     gen = spec.gen
     R = spec.n_restarts
     if R < 2:
         raise ValueError("make_multichip_multistart needs n_restarts > 1")
+    if spec.record_evolution > 0:
+        # same policy as make_multichip_estimator: the batched step has no
+        # consumer for per-iterate histories — R device lanes of them would
+        # be silent memory/compute waste
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "record_evolution is not supported by the mesh multi-start "
+            "step; disabling recording for this estimator.")
+        spec = dataclasses.replace(spec, record_evolution=0)
     data_size = mesh.shape["data"]
     if R % data_size:
         raise ValueError(

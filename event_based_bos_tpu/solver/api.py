@@ -234,7 +234,6 @@ class SolverBase:
         # to float32 otherwise) and reduced-precision flow fetch.
         self.wire_quantized = bool(self.slv_config.get("quantized_upload",
                                                        False))
-        self._wire_needs_t = True   # pyramid facade overrides: t unused there
         self._wire_decode_jit: dict = {}
         self._wire_fell_back = False
         fetch = str(self.slv_config.get("flow_fetch_dtype", "float32"))
@@ -247,7 +246,15 @@ class SolverBase:
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def _to_events(self, events) -> Events:
+    def _to_events(self, events, need_t: bool = True) -> Events:
+        """Upload an event batch (or pass :class:`Events` through).
+
+        ``need_t=False`` lets a caller that never reads timestamps (the
+        pyramid solve — its events enter only through the polarity
+        histogram) request the t-less quantized wire (5 B/event).  Callers
+        that DO consume time (``preprocess`` period, ``calculate_fwl``
+        warps) must keep the default.
+        """
         if isinstance(events, Events):
             return events
         arr = np.asarray(events)
@@ -255,8 +262,7 @@ class SolverBase:
         if self.wire_quantized:
             from ..types import decode_wire_events, encode_wire_events
 
-            wire = encode_wire_events(arr, cap,
-                                      include_t=self._wire_needs_t)
+            wire = encode_wire_events(arr, cap, include_t=need_t)
             if wire is not None:
                 key = (cap, "t_us" in wire)
                 fn = self._wire_decode_jit.get(key)
@@ -281,13 +287,19 @@ class SolverBase:
         before the padded device upload; :class:`Events` input filters on
         device.
         """
-        if self.preproc_filter and isinstance(events, np.ndarray):
+        if isinstance(events, np.ndarray):
+            # period from the raw host array: correct regardless of the
+            # wire format the subsequent upload uses (a t-less quantized
+            # upload decodes t as zeros)
             num_orig = len(events)
-            period = float(events[:, 2].max() - events[:, 2].min()) if num_orig else 0.0
-            filtered = self.filter_set.process_numpy(events)
-            logger.info("After preprocessing %d out of %d.", len(filtered),
-                        num_orig)
-            return self._to_events(filtered), period
+            period = (float(events[:, 2].max() - events[:, 2].min())
+                      if num_orig else 0.0)
+            if self.preproc_filter:
+                filtered = self.filter_set.process_numpy(events)
+                logger.info("After preprocessing %d out of %d.",
+                            len(filtered), num_orig)
+                return self._to_events(filtered), period
+            return self._to_events(events), period
 
         ev = self._to_events(events)
         num_orig = int(ev.count())
@@ -756,10 +768,6 @@ class PatchEkltPyramid2(SolverBase):
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}
         self._last_aux = None
-        # the pyramid solve consumes events only through the polarity
-        # histogram (x, y, p) — never timestamps — so the quantized wire
-        # omits t entirely (5 B/event instead of 17)
-        self._wire_needs_t = False
 
     def _solver_fn(self, capacity: int):
         # one jitted callable per capacity bucket; jax.jit itself re-traces
@@ -792,7 +800,10 @@ class PatchEkltPyramid2(SolverBase):
         returns, so the caller can prepare frame *i+1* host-side while the
         chip works.  Host-only finalization (flow fetch, loss-history /
         evolution rendering, frame counter) runs in the returned handle."""
-        ev = self._to_events(events)
+        # the pyramid solve consumes events only through the polarity
+        # histogram (x, y, p) — never timestamps — so the quantized wire
+        # omits t entirely (5 B/event instead of 17)
+        ev = self._to_events(events, need_t=False)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
         prev = self.previous_frame_best_estimation
         fn = self._solver_fn(ev.capacity)

@@ -133,14 +133,17 @@ def roi_mask(spec: PyramidSpec, dtype=None) -> np.ndarray:
     return m
 
 
-def _outside_strips(box, gx, gy, gen, stride):
+def _outside_strips(box, gx, gy, gen, stride, weights=None):
     """Decimated sample grids covering the frame outside ``box``.
 
     Decomposes frame∖box into ≤ 4 rectangles (top/bottom full-width, left/
     right between them), samples each at ``stride`` in both axes (centered
     offset), and precomputes the gradient products consumed by
-    :func:`..generative.outside_norm_sq`.  All constants — computed once per
-    jitted solve, hoisted out of the optimizer scan by XLA."""
+    :func:`..generative.outside_norm_sq`.  ``weights`` (the event-hist
+    weight map, when ``weight_by_event_hist`` is on) multiplies the
+    prediction *before* its norm (``predict_increment``), so it folds into
+    the products as w².  All constants — computed once per jitted solve,
+    hoisted out of the optimizer scan by XLA."""
     if not stride:
         return None
     h, w = gen.image_size
@@ -163,6 +166,10 @@ def _outside_strips(box, gx, gy, gen, stride):
             continue
         gxs = gx[np.ix_(ridx, cidx)].astype(dt)
         gys = gy[np.ix_(ridx, cidx)].astype(dt)
+        if weights is not None:
+            ws = weights[np.ix_(ridx, cidx)].astype(dt)
+            gxs = gxs * ws
+            gys = gys * ws
         strips.append((ridx, cidx, gxs * gxs, gxs * gys, gys * gys, area))
     return strips or None
 
@@ -232,7 +239,8 @@ def solve_pyramid(
              if n in _mean_costs and not isinstance(w, str) else w)
             for n, w in gen.cost_weights))
         norm_strips = _outside_strips(roi_crop, gx_o, gy_o, gen,
-                                      spec.roi_norm_stride)
+                                      spec.roi_norm_stride,
+                                      weights=weights_o)
 
     if gen.compute_dtype is not None:
         # cast the optimization-loop constants once; params/optimizer state

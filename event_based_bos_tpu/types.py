@@ -163,8 +163,8 @@ def encode_wire_events(events: np.ndarray, capacity: int,
                        include_t: bool = True):
     """Host-side wire encoder; returns a dict of compact np arrays or
     ``None`` when the batch cannot be represented exactly (sub-1/32-px
-    coordinates or out-of-range values) — callers fall back to the float32
-    upload."""
+    coordinates, off-µs-grid timestamps, or out-of-range values) — callers
+    fall back to the float32 upload."""
     events = np.asarray(events)
     n = min(len(events), capacity)
     ev = events[:n]
@@ -194,8 +194,13 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     out["p"][:n] = np.where(ev[:, 3] > 0, 1, -1).astype(np.int8)
     if include_t:
         t0 = float(ev[:, 2].min())
-        tus = np.rint((ev[:, 2] - t0) * 1e6)
-        if tus.max() >= 2**31:
+        rel = (ev[:, 2] - t0) * 1e6
+        tus = np.rint(rel)
+        # timestamps must be µs-aligned for the i32-µs wire to be faithful
+        # (raw camera streams are — the CCS HDF5 stores int32 µs); reject
+        # off-grid times like x/y so continuous-time batches fall back to
+        # the float32 upload instead of being silently rounded
+        if np.max(np.abs(rel - tus)) > 1e-2 or tus.max() >= 2**31:
             return None
         out["t_us"] = np.zeros(capacity, np.int32)
         out["t_us"][:n] = tus.astype(np.int32)
@@ -206,8 +211,9 @@ def encode_wire_events(events: np.ndarray, capacity: int,
 def decode_wire_events(wire: dict, dtype=jnp.float32) -> Events:
     """Device-side decode (jit this per capacity): rebuilds the float32
     :class:`Events` from the quantized wire arrays.  Timestamps decode to
-    ``t0 + µs·1e-6`` (the same float32 resolution as the direct upload) or
-    to zeros when the producer omitted them."""
+    ``t0 + µs·1e-6`` (within ~2 float32 ulps of the direct upload for the
+    µs-aligned batches the encoder accepts) or to zeros when the producer
+    omitted them."""
     x_q = wire["x_q"]
     cap = x_q.shape[-1]
     scale = jnp.asarray(1.0 / WIRE_SUBPIXEL, dtype)

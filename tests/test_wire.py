@@ -65,6 +65,11 @@ class TestWireRoundtrip:
         arr2 = _batch()
         arr2[0, 0] = 3000.0  # fixed-point overflow at 32×
         assert encode_wire_events(arr2, 8192) is None
+        arr3 = _batch()
+        arr3[5, 2] += 0.4e-6  # off the µs grid: t would be silently rounded
+        assert encode_wire_events(arr3, 8192) is None
+        # ... but a t-less request doesn't care about time alignment
+        assert encode_wire_events(arr3, 8192, include_t=False) is not None
 
     def test_without_t(self):
         arr = _batch()
@@ -85,6 +90,35 @@ class TestWireRoundtrip:
         wire = encode_wire_events(np.zeros((0, 4)), 4096)
         ev = decode_wire_events(wire)
         assert int(ev.count()) == 0
+
+
+def test_preprocess_period_survives_tless_wire():
+    """Regression: with `quantized_upload` and no filters, preprocess()
+    must report the true window period from the host array — a t-less wire
+    decode would otherwise zero it and silently break the CLI's GT/batch
+    time rescaling."""
+    from event_based_bos_tpu.solver import collections
+
+    arr = _batch()
+    want = float(arr[:, 2].max() - arr[:, 2].min())
+    cfg = {"method": "patch_eklt_pyramid2", "outer_padding": 0,
+           "quantized_upload": True,
+           "cost_with_weight": {"diff_norm": 1.0},
+           "optimizer": {"method": "Adam", "n_iter": 8},
+           "generative_ml": {"weight_loss_by_event_hist": False,
+                             "weight_sigma": 5,
+                             "weight_loss_by_inverse_event_hist": False,
+                             "optimize_warp": False, "iwe_sigma": 2,
+                             "viz_diff_scale": [-0.25, 0.25],
+                             "no_polarity": False, "model_image": "current",
+                             "use_log_intensity": False,
+                             "poisson_model": True},
+           "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                          "do_event_thresholding": False, "event_thres": 8,
+                          "coarsest_patch_size": 16, "finest_patch_size": 8}}
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    _ev, period = solv.preprocess(arr)
+    assert abs(period - want) < 1e-9, (period, want)
 
 
 def test_pyramid_facade_quantized_matches_f32():
@@ -117,7 +151,7 @@ def test_pyramid_facade_quantized_matches_f32():
 
     qcfg = dict(cfg, quantized_upload=True)
     q = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, qcfg, None)
-    assert q._wire_needs_t is False
+    assert q.wire_quantized
     f_q = q.estimate(events, None, frame=I1, background=I1)
     np.testing.assert_array_equal(f_ref, f_q)
 

@@ -103,8 +103,9 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
     n_done = sum(1 for line in open(os.path.join(
         out, "run", "flow_error_per_frame_without_mask.txt")))
     # steady-state rate from per-frame artifact mtimes: drops the one-time
-    # compile/warmup cost of the first frame(s), which dominates wall/n at
-    # small n now that the persistent cache is disabled on this backend
+    # compile + heavy-tailed server-side first-execution stall of frame 1
+    # (cache-independent — see docs/performance.md), which dominates
+    # wall/n at small n
     run_dir = os.path.join(out, "run")
     stamps = sorted(os.path.getmtime(os.path.join(run_dir, f))
                     for f in os.listdir(run_dir)
