@@ -269,6 +269,43 @@ def test_restrict_to_roi_mode(scene):
     assert corr > 0.97, corr
 
 
+def test_restrict_to_roi_with_event_hist_weights(scene):
+    """The outside-box norm correction must fold the event-hist weight map
+    (w² into the gradient products) when ``weight_by_event_hist`` is on —
+    the prediction is weighted BEFORE its norm (``gml:531-575``)."""
+    import dataclasses
+
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
+
+    I1, _, events = scene
+    ev = events_from_ndarray(events)
+    gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                         weight_by_event_hist=True,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True)
+    roi = (0, H, 16, 80)
+    full = PyramidSpec(gen=gen, roi=roi, coarsest_patch=16, finest_patch=8,
+                       n_iter=40)
+    fast = dataclasses.replace(full, restrict_to_roi=True,
+                               roi_norm_stride=2)
+    mask = jnp.asarray(roi_mask(full))
+    key = jax.random.PRNGKey(0)
+    f_full, aux_f = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                                   key, full)
+    f_fast, aux_r = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                                   key, fast)
+    # first-iteration losses start from the SAME params: the corrected
+    # normalizer must put them within a few percent of the full-frame loss
+    l0_full = float(np.asarray(aux_f["loss_history"][0])[0])
+    l0_fast = float(np.asarray(aux_r["loss_history"][0])[0])
+    assert abs(l0_fast - l0_full) / l0_full < 0.05, (l0_full, l0_fast)
+    a = np.asarray(f_full)[:, :, 16:80]
+    b = np.asarray(f_fast)[:, :, 16:80]
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_multistart_selects_best_loss_restart(scene):
     """``n_restarts: R`` vmaps the pyramid solve over R random inits and
     returns the restart with the lowest finest-scale loss — identical to
