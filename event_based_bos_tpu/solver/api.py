@@ -230,10 +230,19 @@ class SolverBase:
         self.iter_cnt = 0       # frames finalized (visualization counter)
         self.dispatch_cnt = 0   # frames dispatched (pipelined mode runs ahead)
         # Serving-path wire options (docs/performance.md): quantized event
-        # upload (bit-exact for 1/32-px-aligned streams; silently falls back
-        # to float32 otherwise) and reduced-precision flow fetch.
-        self.wire_quantized = bool(self.slv_config.get("quantized_upload",
-                                                       False))
+        # upload (``True``/"exact" = bit-exact for 1/32-px-aligned µs
+        # streams with silent float32 fallback otherwise; "round" = snap
+        # onto the wire grid, ≤1/64 px / ≤0.5 µs error, so continuous-time
+        # or sub-pixel streams keep the compact upload) and
+        # reduced-precision flow fetch.
+        qu = self.slv_config.get("quantized_upload", False)
+        self.wire_mode = ({True: "exact", "exact": "exact",
+                           "round": "round"}.get(qu)
+                          if qu else None)
+        if qu and self.wire_mode is None:
+            raise ValueError(f"quantized_upload: unknown mode {qu!r} "
+                             "(expected true, 'exact' or 'round')")
+        self.wire_quantized = self.wire_mode is not None
         self._wire_decode_jit: dict = {}
         self._wire_fell_back = False
         fetch = str(self.slv_config.get("flow_fetch_dtype", "float32"))
@@ -262,7 +271,8 @@ class SolverBase:
         if self.wire_quantized:
             from ..types import decode_wire_events, encode_wire_events
 
-            wire = encode_wire_events(arr, cap, include_t=need_t)
+            wire = encode_wire_events(arr, cap, include_t=need_t,
+                                      mode=self.wire_mode)
             if wire is not None:
                 key = (cap, "t_us" in wire)
                 fn = self._wire_decode_jit.get(key)
@@ -274,8 +284,13 @@ class SolverBase:
             if not self._wire_fell_back:
                 self._wire_fell_back = True
                 logger.warning(
-                    "quantized_upload: batch has sub-1/32-px coordinates or "
-                    "out-of-range values — falling back to float32 uploads.")
+                    "quantized_upload (%s): batch not representable on the "
+                    "wire grid (%s) — falling back to float32 uploads.",
+                    self.wire_mode,
+                    "out-of-range values" if self.wire_mode == "round"
+                    else "sub-1/32-px coordinates, off-µs-grid timestamps "
+                         "or out-of-range values; 'round' mode would snap "
+                         "them instead")
         return events_from_ndarray(arr, capacity=cap, dtype=self.dtype)
 
     # -- main API ----------------------------------------------------------------

@@ -160,11 +160,22 @@ WIRE_SUBPIXEL = 32
 
 
 def encode_wire_events(events: np.ndarray, capacity: int,
-                       include_t: bool = True):
+                       include_t: bool = True, mode: str = "exact"):
     """Host-side wire encoder; returns a dict of compact np arrays or
-    ``None`` when the batch cannot be represented exactly (sub-1/32-px
-    coordinates, off-µs-grid timestamps, or out-of-range values) — callers
-    fall back to the float32 upload."""
+    ``None`` when the batch cannot be represented — callers fall back to
+    the float32 upload.
+
+    ``mode="exact"`` (default) additionally rejects batches that would not
+    round-trip bit-exactly (sub-1/32-px coordinates or off-µs-grid
+    timestamps).  ``mode="round"`` accepts those by snapping onto the wire
+    grid — coordinate error ≤ 1/64 px and timestamp error ≤ 0.5 µs, both
+    orders of magnitude below the solver's own noise floor — so
+    continuous-time or undistorted (sub-pixel) streams still get the
+    compact upload.  Out-of-range values (coords outside [0, 2047.97] px,
+    windows ≥ 2^31 µs) force the fallback in both modes.
+    """
+    if mode not in ("exact", "round"):
+        raise ValueError(f"unknown wire mode {mode!r}")
     events = np.asarray(events)
     n = min(len(events), capacity)
     ev = events[:n]
@@ -181,9 +192,11 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     ys = ev[:, 1] * WIRE_SUBPIXEL
     xq = np.rint(xs)
     yq = np.rint(ys)
-    if (np.max(np.abs(xs - xq)) > 1e-3 or np.max(np.abs(ys - yq)) > 1e-3
-            or xq.min() < 0 or yq.min() < 0
+    if (xq.min() < 0 or yq.min() < 0
             or xq.max() >= 65536 or yq.max() >= 65536):
+        return None
+    if mode == "exact" and (np.max(np.abs(xs - xq)) > 1e-3
+                            or np.max(np.abs(ys - yq)) > 1e-3):
         return None
     out = {"x_q": np.zeros(capacity, np.uint16),
            "y_q": np.zeros(capacity, np.uint16),
@@ -197,10 +210,13 @@ def encode_wire_events(events: np.ndarray, capacity: int,
         rel = (ev[:, 2] - t0) * 1e6
         tus = np.rint(rel)
         # timestamps must be µs-aligned for the i32-µs wire to be faithful
-        # (raw camera streams are — the CCS HDF5 stores int32 µs); reject
-        # off-grid times like x/y so continuous-time batches fall back to
-        # the float32 upload instead of being silently rounded
-        if np.max(np.abs(rel - tus)) > 1e-2 or tus.max() >= 2**31:
+        # (raw camera streams are — the CCS HDF5 stores int32 µs); in
+        # "exact" mode reject off-grid times like x/y so continuous-time
+        # batches fall back to the float32 upload instead of being silently
+        # rounded; "round" mode snaps them (≤ 0.5 µs error)
+        if tus.max() >= 2**31:
+            return None
+        if mode == "exact" and np.max(np.abs(rel - tus)) > 1e-2:
             return None
         out["t_us"] = np.zeros(capacity, np.int32)
         out["t_us"][:n] = tus.astype(np.int32)

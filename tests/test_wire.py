@@ -92,6 +92,92 @@ class TestWireRoundtrip:
         assert int(ev.count()) == 0
 
 
+class TestWireRoundMode:
+    """`mode="round"` snaps off-grid batches instead of falling back —
+    the compact upload for continuous-time / undistorted streams."""
+
+    def test_continuous_t_rounds_within_half_us(self):
+        arr = _batch()
+        rng = np.random.default_rng(1)
+        arr[:, 2] += rng.uniform(0, 1e-6, len(arr))  # off the µs grid
+        assert encode_wire_events(arr, 8192) is None  # exact mode refuses
+        wire = encode_wire_events(arr, 8192, mode="round")
+        assert wire is not None
+        ev = decode_wire_events(wire)
+        err = np.abs(np.asarray(ev.t, np.float64)[:len(arr)] - arr[:, 2])
+        assert err.max() < 1e-6 + 1e-7, err.max()
+        # integer coordinates still decode bit-exactly
+        ref = events_from_ndarray(arr, capacity=8192)
+        np.testing.assert_array_equal(np.asarray(ev.x), np.asarray(ref.x))
+
+    def test_subpixel_coords_round_within_64th(self):
+        rng = np.random.default_rng(2)
+        arr = _batch()
+        arr[:, 0] = rng.uniform(0, H - 1, len(arr))  # continuous coords
+        arr[:, 1] = rng.uniform(0, W - 1, len(arr))
+        assert encode_wire_events(arr, 8192) is None
+        wire = encode_wire_events(arr, 8192, mode="round")
+        assert wire is not None
+        ev = decode_wire_events(wire)
+        ex = np.abs(np.asarray(ev.x, np.float64)[:len(arr)] - arr[:, 0])
+        ey = np.abs(np.asarray(ev.y, np.float64)[:len(arr)] - arr[:, 1])
+        assert ex.max() <= 1 / 64 + 1e-6 and ey.max() <= 1 / 64 + 1e-6
+
+    def test_out_of_range_still_falls_back(self):
+        arr = _batch()
+        arr[0, 0] = 3000.0  # 32× fixed-point overflow
+        assert encode_wire_events(arr, 8192, mode="round") is None
+        arr2 = _batch()
+        arr2[0, 0] = -1.0
+        assert encode_wire_events(arr2, 8192, mode="round") is None
+
+    def test_unknown_mode_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            encode_wire_events(_batch(), 8192, mode="lossy")
+
+
+def test_facade_round_mode_matches_f32_on_integer_coords():
+    """`quantized_upload: round` on a continuous-time integer-coordinate
+    stream (the synthetic loader's shape) must produce bitwise the same
+    pyramid flow as the float32 upload — the solve never reads t, and the
+    rounded coords are exact for integer streams."""
+    from event_based_bos_tpu.solver import collections
+
+    I1, _, events = synthetic_scene(H, W, du=(1.5, -0.8), n=20000)
+    rng = np.random.default_rng(3)
+    events = np.array(events)
+    events[:, 2] = np.sort(rng.uniform(0.0, 0.008, len(events)))  # off-grid t
+    cfg = {
+        "filter": {"filters": None,
+                   "parameters": {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W}},
+        "method": "patch_eklt_pyramid2",
+        "outer_padding": 0,
+        "cost_with_weight": {"diff_norm": 1.0, "image_gradient": 0.5},
+        "optimizer": {"method": "Adam", "n_iter": 16},
+        "generative_ml": {"weight_loss_by_event_hist": False,
+                          "weight_sigma": 5,
+                          "weight_loss_by_inverse_event_hist": True,
+                          "optimize_warp": False, "iwe_sigma": 2,
+                          "viz_diff_scale": [-0.25, 0.25],
+                          "no_polarity": False, "model_image": "current",
+                          "use_log_intensity": False, "poisson_model": True},
+        "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                       "do_event_thresholding": False, "event_thres": 8,
+                       "coarsest_patch_size": 16, "finest_patch_size": 8},
+    }
+    base = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    f_ref = base.estimate(events, None, frame=I1, background=I1)
+
+    rcfg = dict(cfg, quantized_upload="round")
+    r = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, rcfg, None)
+    assert r.wire_mode == "round"
+    f_r = r.estimate(events, None, frame=I1, background=I1)
+    np.testing.assert_array_equal(f_ref, f_r)
+    assert not r._wire_fell_back
+
+
 def test_preprocess_period_survives_tless_wire():
     """Regression: with `quantized_upload` and no filters, preprocess()
     must report the true window period from the host array — a t-less wire

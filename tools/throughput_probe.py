@@ -88,9 +88,12 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
     if serve:
         cfg["visualize"] = False
     if wire:
-        # quantized event upload (bit-exact for this integer-coordinate
-        # synthetic stream) + half-precision flow fetch
-        cfg["solver"]["quantized_upload"] = True
+        # quantized event upload + half-precision flow fetch.  "round"
+        # mode: the synthetic stream's timestamps are continuous (off the
+        # µs grid), so the "exact" wire would fall back to float32 for the
+        # t-carrying preprocess upload; rounding (≤0.5 µs) keeps the
+        # 9 B/event wire.  Coordinates are integers — decoded bit-exactly.
+        cfg["solver"]["quantized_upload"] = "round"
         cfg["solver"]["flow_fetch_dtype"] = "float16"
     cfg_path = os.path.join(out, "cfg.yaml")
     with open(cfg_path, "w") as f:
@@ -126,6 +129,17 @@ def main():
     # see warm compiles (first-program penalty documented in
     # docs/performance.md)
     run_once(False, 2, small)
+    if "--serving-only" in sys.argv:
+        serve = run_once(True, n_frames, small, serve=True)
+        serve_w = run_once(True, n_frames, small, serve=True, wire=True)
+        print(json.dumps({
+            "serving_s_per_frame": round(serve["s_per_frame"], 3),
+            "serving_wire_s_per_frame": round(serve_w["s_per_frame"], 3),
+            "serving_steady": round(serve["steady_s_per_frame"], 3),
+            "serving_wire_steady": round(serve_w["steady_s_per_frame"], 3),
+            "frames": serve["frames"]}))
+        sys.stdout.flush()
+        os._exit(0)
     sync = run_once(False, n_frames, small)
     pipe = run_once(True, n_frames, small)
     serve = run_once(True, n_frames, small, serve=True)
