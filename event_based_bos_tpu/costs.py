@@ -218,6 +218,11 @@ def hybrid_cost(
     Parity: ``HybridCost`` (``src/costs/hybrid.py:45-57``) including the
     ``"inv"`` weight (adds the reciprocal of the term).  Returns
     ``(total, {name: raw_term})`` so callers can record per-term history.
+
+    Internal extension: a weight ``("inv", s)`` adds ``1 / (raw · s)`` —
+    the exact-ROI fast path uses it to restore the full-frame mean inside
+    the reciprocal for mean-based costs evaluated on the ROI box
+    (``solver/pyramid.py``); configs always pass the plain ``"inv"``.
     """
     if direction not in ("minimize", "maximize", "natural"):
         raise ValueError(f"direction should be minimize/maximize/natural, got {direction}")
@@ -230,7 +235,12 @@ def hybrid_cost(
         for name, fn, w in items:
             raw = fn(arg)
             terms[name] = raw
-            total = total + (1.0 / raw if w == "inv" else w * raw)
+            if w == "inv":
+                total = total + 1.0 / raw
+            elif isinstance(w, tuple) and w[0] == "inv":
+                total = total + 1.0 / (raw * w[1])
+            else:
+                total = total + w * raw
         return sign * total, terms
 
     return calculate

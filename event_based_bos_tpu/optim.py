@@ -237,10 +237,22 @@ def run_nelder_mead(
     def project(x):
         return jnp.clip(x, bounds[0], bounds[1]) if bounds is not None else x
 
+    x0 = project(x0)
     pert = jnp.where(x0 != 0, x0 * 0.05, 0.00025)
+    if bounds is not None:
+        # a vertex whose perturbed coordinate clips back onto x0 makes the
+        # simplex rank-deficient — every affine combination then keeps that
+        # coordinate frozen forever.  Perturb toward whichever side of the
+        # box actually moves (both sides immovable only if lo == hi).
+        up = jnp.clip(x0 + pert, bounds[0], bounds[1])
+        down = jnp.clip(x0 - pert, bounds[0], bounds[1])
+        diag_vals = jnp.where(jnp.abs(up - x0) > 0, up, down)
+    else:
+        diag_vals = x0 + pert
+    idx = jnp.arange(d)
     simplex = jnp.concatenate(
-        [x0[None], x0[None] + jnp.diag(pert)], axis=0)
-    simplex = project(simplex)
+        [x0[None], jnp.tile(x0, (d, 1)).at[idx, idx].set(diag_vals)],
+        axis=0)
     fvals = jax.vmap(objective)(simplex)
 
     def step(carry, _it):

@@ -250,10 +250,11 @@ def _one_iteration(frame_a, frame_b, window, overlap, settings_tuple,
     if settings.replace_vectors:
         u, v = _replace_localmean(u, v, bad, settings.max_filter_iteration,
                                   settings.filter_kernel_size)
-    if settings.smoothn and not is_last:
-        # OpenPIV smooths after the first pass and between multipass
-        # iterations, but not after the final one (``frame_utils.py:
-        # 253-255`` vs ``:289-291`` — the `i < num_iterations - 1` guard)
+    if settings.smoothn and (prev_dense is None or not is_last):
+        # OpenPIV smooths the first pass unconditionally (``frame_utils.py:
+        # 253-255`` — so a single-pass run IS smoothed) and later passes
+        # only when more follow (``:289-291`` — the
+        # `i < num_iterations - 1` guard)
         u = smoothn(u, settings.smoothn_p)
         v = smoothn(v, settings.smoothn_p)
     dense = jnp.stack([resize_bilinear(u, (h, w)), resize_bilinear(v, (h, w))])

@@ -246,6 +246,12 @@ class SolverBase:
         self._wire_decode_jit: dict = {}
         self._wire_fell_back = False
         fetch = str(self.slv_config.get("flow_fetch_dtype", "float32"))
+        if fetch not in ("float32", "float16", "bfloat16"):
+            # fail loudly: a typo ("fp16", "half") would otherwise silently
+            # fetch uncompressed float32 while the operator believes the
+            # wire bytes were halved
+            raise ValueError(f"flow_fetch_dtype: unknown dtype {fetch!r} "
+                             "(expected float32, float16 or bfloat16)")
         self._fetch_dtype = {"float16": jnp.float16,
                              "bfloat16": jnp.bfloat16}.get(fetch)
         logger.info("Solver configuration: %s", self.slv_config)

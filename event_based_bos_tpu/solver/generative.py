@@ -429,9 +429,16 @@ def predict_increment(
     if weights is not None:
         pred = pred * weights
     if extra_norm_sq is not None:
+        # same zero-subgradient guard as _safe_frobenius: the plain
+        # velocity model initializes the prediction at exactly zero, and
+        # the stride-decimated outside correction is then zero too —
+        # sqrt(0) would back-propagate NaN from iteration 0
         acc = jnp.float32 if pred.dtype == jnp.bfloat16 else pred.dtype
-        nrm = jnp.sqrt(jnp.sum((pred * pred).astype(acc))
-                       + extra_norm_sq.astype(acc)).astype(pred.dtype)
+        sq = (jnp.sum((pred * pred).astype(acc))
+              + extra_norm_sq.astype(acc))
+        zero = sq == 0
+        nrm = jnp.where(zero, 0.0,
+                        jnp.sqrt(jnp.where(zero, 1.0, sq))).astype(pred.dtype)
     else:
         nrm = _safe_frobenius(pred)
     pred = pred / (nrm + NORM_EPS)

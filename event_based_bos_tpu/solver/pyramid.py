@@ -228,16 +228,26 @@ def solve_pyramid(
         mask = mask[x0:x1, y0:y1]
         weight_inverse = weight_inverse[x0:x1, y0:y1]
         weights = None if weights is None else weights[x0:x1, y0:y1]
-        # mean-based cost terms divide by the domain area; rescale their
-        # weights so a box-domain mean reproduces the full-frame mean
-        # (string weights like "inv" are not area-scalable — left alone)
+        # mean-based cost terms divide by the domain area; rescale so a
+        # box-domain mean reproduces the full-frame mean.  Every summand
+        # of these terms is supported inside the margin box (flow and pxy
+        # are masked, the mask ridge is inside), so
+        # full-frame mean == box mean × area_scale exactly: numeric
+        # weights absorb the factor, "inv" weights become
+        # 1 / (raw · area_scale) via the ("inv", s) weight form
         area_scale = ((x1 - x0) * (y1 - y0)) / float(h * w_)
         _mean_costs = {"image_gradient", "flow_norm", "flow_norm_pxy",
                        "charbonnier", "total_variation"}
+
+        def _rescale(n, w):
+            if n not in _mean_costs:
+                return w
+            if w == "inv":
+                return ("inv", area_scale)
+            return w if isinstance(w, str) else w * area_scale
+
         gen = dataclasses.replace(gen, cost_weights=tuple(
-            (n, w * area_scale
-             if n in _mean_costs and not isinstance(w, str) else w)
-            for n, w in gen.cost_weights))
+            (n, _rescale(n, w)) for n, w in gen.cost_weights))
         norm_strips = _outside_strips(roi_crop, gx_o, gy_o, gen,
                                       spec.roi_norm_stride,
                                       weights=weights_o)

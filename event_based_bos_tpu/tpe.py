@@ -153,7 +153,10 @@ def run_tpe(
         else:
             n_below = _default_gamma(t)
             order = np.argsort(losses[:t], kind="stable")
-            below_idx, above_idx = order[:n_below], order[n_below:]
+            # restore trial order inside each set so the recency weight
+            # ramp (_default_weights) fades OLD trials, not low-loss ones
+            below_idx = np.sort(order[:n_below])
+            above_idx = np.sort(order[n_below:])
             x = np.empty(dim)
             for d in range(dim):
                 l_est = ParzenEstimator(xs[below_idx, d], lo[d], hi[d])

@@ -60,6 +60,16 @@ class TestCosts:
         dn = float(terms["diff_norm"])
         np.testing.assert_allclose(float(total), 1.0 / fl + 2.0 * dn, rtol=1e-6)
 
+    def test_hybrid_scaled_inv_weight(self):
+        """The internal ("inv", s) weight form adds 1/(raw*s) — used by the
+        exact-ROI fast path to restore the full-frame mean inside the
+        reciprocal for box-evaluated mean costs."""
+        fn = costs.hybrid_cost({"flow_norm": ("inv", 0.25)})
+        arg = {"flow": 2 * jnp.ones((2, 3, 3))}
+        total, terms = fn(arg)
+        fl = float(terms["flow_norm"])
+        np.testing.assert_allclose(float(total), 1.0 / (fl * 0.25), rtol=1e-6)
+
     def test_maximize_direction(self):
         fn = costs.hybrid_cost({"flow_norm": 1.0}, direction="maximize")
         total, _ = fn({"flow": jnp.ones((2, 3, 3))})
@@ -119,6 +129,22 @@ class TestOptim:
         hi = jnp.array([0.5, 0.5, 0.5])
         res_b = run_nelder_mead(kink, jnp.zeros(3), 200, bounds=(lo, hi))
         assert (np.abs(np.asarray(res_b.param)) <= 0.5 + 1e-6).all()
+
+    def test_nelder_mead_x0_on_bound_not_frozen(self):
+        """Regression: with x0 on its UPPER bound, the +5% perturbed vertex
+        used to clip back onto x0, collapsing the simplex rank in that
+        coordinate and freezing it at the bound forever."""
+        from event_based_bos_tpu.optim import run_nelder_mead
+
+        def bowl(x):
+            return (x[0] - 0.2) ** 2 + (x[1] + 0.3) ** 2
+
+        lo = jnp.array([-1.0, -1.0])
+        hi = jnp.array([1.0, 1.0])
+        x0 = jnp.array([1.0, 1.0])  # both coordinates start ON the bound
+        res = run_nelder_mead(bowl, x0, 300, bounds=(lo, hi))
+        np.testing.assert_allclose(np.asarray(res.param), [0.2, -0.3],
+                                   atol=0.02)
 
     def test_newton_cg_quadratic_one_outer_step(self):
         """On a quadratic, one Newton step with enough CG iterations lands

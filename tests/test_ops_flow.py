@@ -364,6 +364,40 @@ class TestPIVAccuracy:
         r2 = np.asarray(smoothn(jnp.asarray(y), 5.0)).std()
         assert r2 < r1 < y.std()
 
+    def test_smoothn_pass_schedule_matches_reference(self, monkeypatch):
+        """OpenPIV smooths the FIRST pass unconditionally (so a single-pass
+        run IS smoothed, ``frame_utils.py:253-255``) and later passes only
+        when more follow (``:289-291``).  Regression: the single-pass case
+        used to skip smoothing entirely."""
+        from event_based_bos_tpu import piv as piv_mod
+        from event_based_bos_tpu.utils.config import PivSettings
+
+        calls = []
+        orig = piv_mod.smoothn
+        monkeypatch.setattr(piv_mod, "smoothn",
+                            lambda *a, **k: calls.append(1) or orig(*a, **k))
+
+        dr, dc = 1.5, -0.9
+        a, b = TestPIVAccuracy()._pair(
+            lambda p: np.tile([[dr, dc]], (len(p), 1)), shape=(96, 96),
+            n=500)
+        # single pass: smoothed once per component (u, v)
+        piv_mod.piv_multipass(a, b, PivSettings(windowsizes=(32,),
+                                                overlap=(16,), smoothn=True))
+        assert len(calls) == 2, calls
+        # two passes: first smoothed, final not — still 2 calls
+        calls.clear()
+        piv_mod.piv_multipass(a, b, PivSettings(windowsizes=(32, 16),
+                                                overlap=(16, 8),
+                                                smoothn=True))
+        assert len(calls) == 2, calls
+        # three passes: first two smoothed, final not — 4 calls
+        calls.clear()
+        piv_mod.piv_multipass(a, b, PivSettings(windowsizes=(32, 16, 16),
+                                                overlap=(16, 8, 8),
+                                                smoothn=True))
+        assert len(calls) == 4, calls
+
     def test_piv_with_smoothn_still_subtenth_pixel(self):
         """``smoothn: true`` (the reference's shipped PIV default,
         ``config_utils.py:223``) keeps the multipass accuracy on the uniform

@@ -306,6 +306,67 @@ def test_restrict_to_roi_with_event_hist_weights(scene):
     assert corr > 0.95, corr
 
 
+def test_restrict_to_roi_plain_model_finite(scene):
+    """Regression: the exact-ROI normalizer (prediction norm + outside-box
+    correction) used a plain sqrt — with the plain (u, v) velocity model
+    both terms are exactly zero at the zero init, so iteration 0
+    back-propagated NaN and the whole solve returned NaN flow."""
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
+
+    I1, _, events = scene
+    ev = events_from_ndarray(events)
+    gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                         optimize_warp=False, poisson_model=False,
+                         cost_weights=(("diff_norm", 1.0),
+                                       ("image_gradient", 0.5),
+                                       ("flow_norm", 0.1)))
+    spec = PyramidSpec(gen=gen, roi=(0, H, 16, 80), coarsest_patch=16,
+                       finest_patch=8, n_iter=12, restrict_to_roi=True)
+    mask = jnp.asarray(roi_mask(spec))
+    flow, aux = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                               jax.random.PRNGKey(0), spec)
+    assert np.isfinite(np.asarray(flow)).all()
+    for hist in aux["loss_history"]:  # one entry per pyramid scale
+        assert np.isfinite(np.asarray(hist)).all()
+
+
+def test_restrict_to_roi_inv_weight_matches_full_frame(scene):
+    """An "inv"-weighted mean cost must keep its FULL-FRAME mean divisor
+    under restrict_to_roi (via the ("inv", area_scale) weight form) — the
+    box mean is ~2x the full-frame mean for this ROI, which used to shift
+    the reciprocal term by the same factor."""
+    import dataclasses
+
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
+
+    I1, _, events = scene
+    ev = events_from_ndarray(events)
+    gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True,
+                         cost_weights=(("diff_norm", 1.0),
+                                       ("image_gradient", "inv"),
+                                       ("flow_norm_pxy", 0.1)))
+    full = PyramidSpec(gen=gen, roi=(0, H, 16, 80), coarsest_patch=16,
+                       finest_patch=8, n_iter=40)
+    fast = dataclasses.replace(full, restrict_to_roi=True)
+    mask = jnp.asarray(roi_mask(full))
+    key = jax.random.PRNGKey(0)
+    f_full, aux_f = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                                   key, full)
+    f_fast, aux_r = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                                   key, fast)
+    l0_full = float(np.asarray(aux_f["loss_history"][0]).ravel()[0])
+    l0_fast = float(np.asarray(aux_r["loss_history"][0]).ravel()[0])
+    assert abs(l0_fast - l0_full) / abs(l0_full) < 0.05, (l0_full, l0_fast)
+    a = np.asarray(f_full)[:, :, 16:80]
+    b = np.asarray(f_fast)[:, :, 16:80]
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_multistart_selects_best_loss_restart(scene):
     """``n_restarts: R`` vmaps the pyramid solve over R random inits and
     returns the restart with the lowest finest-scale loss — identical to

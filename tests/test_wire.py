@@ -138,6 +138,36 @@ class TestWireRoundMode:
             encode_wire_events(_batch(), 8192, mode="lossy")
 
 
+def test_facade_rejects_unknown_wire_config():
+    """Typos in the serving wire keys must fail loudly — a silently ignored
+    `flow_fetch_dtype: fp16` would measure the uncompressed path while the
+    operator believes the bytes were halved."""
+    import pytest
+
+    from event_based_bos_tpu.solver import collections
+
+    base = {"method": "patch_eklt_pyramid2", "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0},
+            "optimizer": {"method": "Adam", "n_iter": 4},
+            "generative_ml": {"weight_loss_by_event_hist": False,
+                              "weight_sigma": 5,
+                              "weight_loss_by_inverse_event_hist": False,
+                              "optimize_warp": False, "iwe_sigma": 2,
+                              "viz_diff_scale": [-0.25, 0.25],
+                              "no_polarity": False, "model_image": "current",
+                              "use_log_intensity": False,
+                              "poisson_model": True},
+            "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                           "do_event_thresholding": False, "event_thres": 8,
+                           "coarsest_patch_size": 16, "finest_patch_size": 8}}
+    with pytest.raises(ValueError):
+        collections["patch_eklt_pyramid2"](
+            (H, W), (H, W), {}, dict(base, flow_fetch_dtype="fp16"), None)
+    with pytest.raises(ValueError):
+        collections["patch_eklt_pyramid2"](
+            (H, W), (H, W), {}, dict(base, quantized_upload="lossy"), None)
+
+
 def test_facade_round_mode_matches_f32_on_integer_coords():
     """`quantized_upload: round` on a continuous-time integer-coordinate
     stream (the synthetic loader's shape) must produce bitwise the same

@@ -38,8 +38,13 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 import jax
-jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# honor EBT_PERSISTENT_CACHE=0 like the library does
+# (utils.misc.enable_persistent_cache_if_beneficial) so the cache-off arm
+# of the A/B recorded in tests/goldens/coldstart_probe.json stays
+# reproducible with this tool
+if os.environ.get("EBT_PERSISTENT_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import functools
 import numpy as np, jax.numpy as jnp
 from event_based_bos_tpu import events_from_ndarray
