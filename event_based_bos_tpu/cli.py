@@ -134,14 +134,16 @@ def evaluate_per_frames(config, loader, solv, viz):
             # the single-chip multi-start exactly
             from .parallel import make_multichip_multistart
 
-            batched_step = make_multichip_multistart(solv.spec, mesh)
+            batched_step = make_multichip_multistart(
+                solv.spec, mesh, fetch_dtype=solv._fetch_dtype)
             mesh_B = 1
             logger.info(
                 "Multi-chip multi-start: mesh %s — %d restarts sharded over "
                 "the data axis, one frame per step.",
                 dict(zip(mesh.axis_names, mesh.devices.shape)), n_restarts)
         else:
-            batched_step = make_multichip_estimator(solv.spec, mesh)
+            batched_step = make_multichip_estimator(
+                solv.spec, mesh, fetch_dtype=solv._fetch_dtype)
             logger.info(
                 "Multi-chip evaluation: mesh %s — %d frames per step.",
                 dict(zip(mesh.axis_names, mesh.devices.shape)), mesh_B)
@@ -331,7 +333,9 @@ def evaluate_per_frames(config, loader, solv, viz):
                         {f"scale{i}": np.asarray(h)
                          for i, h in enumerate(hist_j)})
                 solv.iter_cnt += 1
-                return solv._orient_flow(np.asarray(flow_j))
+                # float32 regardless of the (possibly reduced-precision)
+                # fetch dtype — same contract as the single-chip finalize
+                return solv._orient_flow(np.asarray(flow_j, dtype=np.float32))
 
             finalize(w, EstimationHandle(_fin), fi)
 

@@ -133,20 +133,51 @@ def total_variation(arg: dict) -> jax.Array:
 
     Listed in the reference configs (``configs/hot_plate1.yaml:50-60``
     comments) but absent from its registry; provided here for completeness.
+
+    ``arg["full_domain"] = (H, W)`` (set by the exact-ROI fast path,
+    ``solver/pyramid.py``) evaluates the *full-frame* TV from the cropped
+    field: the dx/dy means divide by ``(H-1)·W`` and ``H·(W-1)`` — two
+    different counts, so no single area factor on the weight can restore
+    both — and every nonzero difference is supported inside the margin box
+    (the masked flow is zero at and outside the box boundary), so the box
+    sums equal the full-frame sums and only the divisors change.
     """
     flow = arg["flow"]
     dx = jnp.abs(flow[..., 1:, :] - flow[..., :-1, :])
     dy = jnp.abs(flow[..., :, 1:] - flow[..., :, :-1])
-    return jnp.mean(dx) + jnp.mean(dy)
+    full = arg.get("full_domain")
+    if full is None:
+        return jnp.mean(dx) + jnp.mean(dy)
+    h, w = full
+    lead = flow.size // (flow.shape[-2] * flow.shape[-1])  # channel count
+    acc = _acc_dtype(flow)
+    return (jnp.sum(dx.astype(acc)) / (lead * (h - 1) * w)
+            + jnp.sum(dy.astype(acc)) / (lead * h * (w - 1)))
 
 
 def charbonnier(arg: dict, alpha: float = 0.45, epsilon: float = 1e-3) -> jax.Array:
     """Robust Charbonnier penalty of (prediction − measurement).
 
     Parity: ``charbonnier_loss`` (``src/utils/stat_utils.py:40-45``).
+
+    ``arg["full_domain"] = (H, W)`` (exact-ROI fast path) evaluates the
+    full-frame mean from the cropped residual: unlike the other mean costs,
+    the summand ``(δ²+ε²)^α`` is ``ε^{2α} > 0`` even where δ = 0, so the
+    out-of-box pixels contribute a nonzero *constant* — added here in
+    closed form (zero gradient, exact value) rather than folded into an
+    area-scaled weight, which could not represent it.
     """
     delta = arg["prediction"] - arg["measurement"]
-    return jnp.mean((delta**2 + epsilon**2) ** alpha)
+    vals = (delta**2 + epsilon**2) ** alpha
+    full = arg.get("full_domain")
+    if full is None:
+        return jnp.mean(vals)
+    h, w = full
+    n_full = vals.size // (vals.shape[-2] * vals.shape[-1]) * h * w
+    n_out = n_full - vals.size
+    acc = _acc_dtype(vals)
+    return ((jnp.sum(vals.astype(acc)) + n_out * epsilon ** (2 * alpha))
+            / n_full)
 
 
 def image_variance(arg: dict) -> jax.Array:

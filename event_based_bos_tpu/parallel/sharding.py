@@ -57,7 +57,8 @@ def sharded_polarity_votes(ev: Events, spec: GenerativeSpec,
     return _votes(ev.x, ev.y, ev.t, ev.p, ev.valid)
 
 
-def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh):
+def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh,
+                              fetch_dtype=None):
     """Multi-start pyramid solve with the restarts sharded across chips.
 
     The embarrassingly-parallel case ``docs/performance.md`` promises: on
@@ -121,6 +122,10 @@ def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh):
                  else final_hist[:, -1])
         best = jnp.argmin(score)
         flow = flows[best][None]
+        if fetch_dtype is not None:
+            # serving-path `flow_fetch_dtype`: cast inside the program so
+            # the device→host fetch moves the reduced-precision bytes
+            flow = flow.astype(fetch_dtype)
         hists = tuple(h[best][None] for h in auxes["loss_history"])
         return flow, hists
 
@@ -128,7 +133,7 @@ def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh):
 
 
 def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,
-                             donate: bool = False):
+                             donate: bool = False, fetch_dtype=None):
     """Build the jitted multi-chip step for a batch of frames.
 
     Layout: events ``[B, N]`` sharded ``(data, event)``; frames ``[B, H, W]``
@@ -174,6 +179,10 @@ def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,
         flows, losses = jax.vmap(solve_one)(pol, frames, keys)
         flows = jax.lax.with_sharding_constraint(
             flows, NamedSharding(mesh, P("data")))
+        if fetch_dtype is not None:
+            # serving-path `flow_fetch_dtype` (see SolverBase): halves the
+            # fetched bytes; host side converts back to float32
+            flows = flows.astype(fetch_dtype)
         return flows, losses
 
     return jax.jit(step)

@@ -192,6 +192,11 @@ class EstimationHandle:
 class SolverBase:
     """Public API parity with reference ``SolverBase`` (``base.py:54-378``)."""
 
+    #: whether this facade's jitted program honors ``flow_fetch_dtype``
+    #: (casts the fetched flow on device); facades that don't must reject
+    #: the option instead of silently fetching float32
+    SUPPORTS_FLOW_FETCH_DTYPE = False
+
     def __init__(self, orig_image_shape, crop_image_shape,
                  calibration_parameter=None, solver_config=None,
                  visualize_module=None):
@@ -254,6 +259,16 @@ class SolverBase:
                              "(expected float32, float16 or bfloat16)")
         self._fetch_dtype = {"float16": jnp.float16,
                              "bfloat16": jnp.bfloat16}.get(fetch)
+        if (self._fetch_dtype is not None
+                and not type(self).SUPPORTS_FLOW_FETCH_DTYPE):
+            # same fail-loud contract as the dtype-name check: a valid value
+            # on a solver that never consults it would silently fetch the
+            # uncompressed float32 flow
+            raise ValueError(
+                "flow_fetch_dtype: not supported by "
+                f"{type(self).__name__} — only the serving-path solver "
+                "(patch_eklt_pyramid2) implements the reduced-precision "
+                "flow fetch")
         logger.info("Solver configuration: %s", self.slv_config)
 
     # -- helpers ---------------------------------------------------------------
@@ -756,6 +771,8 @@ class PatchEkltDependent(PatchEklt):
 class PatchEkltPyramid2(SolverBase):
     """Coarse-to-fine pyramid facade — the flagship
     (``patch_eklt_pyramid2.py:134-191``)."""
+
+    SUPPORTS_FLOW_FETCH_DTYPE = True  # cast applied in _solver_fn
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

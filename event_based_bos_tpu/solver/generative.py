@@ -475,8 +475,10 @@ def dense_objective(
     which the caller must pre-crop) cover only the margin-expanded ROI box —
     ~2× less dense work for the benchmark ROI.  The caller
     (:func:`..pyramid.solve_pyramid`) preserves full-frame cost semantics:
-    the measurement keeps its full-frame normalization, mean-based terms
-    carry area-rescaled weights, and the mask ridge stays inside the box.
+    the measurement keeps its full-frame normalization, H·W-mean terms
+    carry area-rescaled weights (TV/charbonnier restore full-frame values
+    via ``arg["full_domain"]`` instead), and the mask ridge stays inside
+    the box.
     Only the prediction L2 normalizer runs over the box instead of the
     frame (``restrict_to_roi`` docstring discusses why this is benign).
     """
@@ -495,6 +497,11 @@ def dense_objective(
         "weights": weight_inverse,
         "omit_boundary": True,
     }
+    if roi_crop is not None:
+        # total_variation / charbonnier restore full-frame normalization
+        # from the cropped fields in closed form (costs.py docstrings);
+        # the H·W-mean costs are handled by area-rescaled weights instead
+        arg["full_domain"] = spec.image_size
     if "pxy" in fields:
         arg["pxy"] = fields["pxy"] * mask
     if "intensity" in fields:

@@ -228,16 +228,21 @@ def solve_pyramid(
         mask = mask[x0:x1, y0:y1]
         weight_inverse = weight_inverse[x0:x1, y0:y1]
         weights = None if weights is None else weights[x0:x1, y0:y1]
-        # mean-based cost terms divide by the domain area; rescale so a
+        # H·W-mean cost terms divide by the domain area; rescale so a
         # box-domain mean reproduces the full-frame mean.  Every summand
         # of these terms is supported inside the margin box (flow and pxy
         # are masked, the mask ridge is inside), so
         # full-frame mean == box mean × area_scale exactly: numeric
         # weights absorb the factor, "inv" weights become
-        # 1 / (raw · area_scale) via the ("inv", s) weight form
+        # 1 / (raw · area_scale) via the ("inv", s) weight form.
+        # total_variation and charbonnier are NOT in this set: TV's two
+        # means use (H-1)·W and H·(W-1) divisors (no single factor fits
+        # both) and charbonnier's summand has a nonzero ε^{2α} floor at
+        # every out-of-box pixel — both instead restore full-frame
+        # semantics in closed form via arg["full_domain"]
+        # (``dense_objective`` below, ``costs.py``).
         area_scale = ((x1 - x0) * (y1 - y0)) / float(h * w_)
-        _mean_costs = {"image_gradient", "flow_norm", "flow_norm_pxy",
-                       "charbonnier", "total_variation"}
+        _mean_costs = {"image_gradient", "flow_norm", "flow_norm_pxy"}
 
         def _rescale(n, w):
             if n not in _mean_costs:

@@ -147,7 +147,7 @@ def pad_events(ev: Events, capacity: int) -> Events:
 # already produces that SoA), so the wire format packs:
 #     x, y  → uint16 fixed-point (coordinate × 32: exact for 1/32-px-aligned
 #             coords up to 2047 px, which includes all integer raw streams)
-#     p     → int8 sign
+#     p     → int8 raw polarity (±1 and 0/1 streams round-trip bit-exactly)
 #     t     → OPTIONAL int32 µs relative to the window start (the pyramid
 #             solver never reads timestamps — its events enter only through
 #             the polarity histogram — so its facade omits t entirely)
@@ -188,6 +188,13 @@ def encode_wire_events(events: np.ndarray, capacity: int,
             out["t_us"] = np.zeros(capacity, np.int32)
             out["t0"] = np.float32(0)
         return out
+    # Non-finite values pass every range/exactness comparison below (NaN
+    # compares False), so an explicit gate is required — otherwise a glitched
+    # batch would be "validated" into arbitrary uint16 events instead of
+    # falling back to the float32 upload where the NaN stays visible.
+    cols = (0, 1, 2, 3) if include_t else (0, 1, 3)
+    if not np.isfinite(ev[:, cols]).all():
+        return None
     xs = ev[:, 0] * WIRE_SUBPIXEL
     ys = ev[:, 1] * WIRE_SUBPIXEL
     xq = np.rint(xs)
@@ -198,13 +205,23 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     if mode == "exact" and (np.max(np.abs(xs - xq)) > 1e-3
                             or np.max(np.abs(ys - yq)) > 1e-3):
         return None
+    # Polarity ships raw (not sign-collapsed): CCS HDF5 streams carry 0/1,
+    # synthetic/EVT3 carry ±1 — the decode must reproduce whatever the direct
+    # float32 upload would have held (voxel ops read p's *value*, not just
+    # the p>0 predicate — ops/voxel.py).
+    ps = ev[:, 3]
+    pq = np.rint(ps)
+    if pq.min() < -128 or pq.max() > 127:
+        return None
+    if mode == "exact" and np.max(np.abs(ps - pq)) > 1e-3:
+        return None
     out = {"x_q": np.zeros(capacity, np.uint16),
            "y_q": np.zeros(capacity, np.uint16),
            "p": np.zeros(capacity, np.int8),
            "count": np.int32(n)}
     out["x_q"][:n] = xq.astype(np.uint16)
     out["y_q"][:n] = yq.astype(np.uint16)
-    out["p"][:n] = np.where(ev[:, 3] > 0, 1, -1).astype(np.int8)
+    out["p"][:n] = pq.astype(np.int8)
     if include_t:
         t0 = float(ev[:, 2].min())
         rel = (ev[:, 2] - t0) * 1e6

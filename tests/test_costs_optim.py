@@ -70,6 +70,52 @@ class TestCosts:
         fl = float(terms["flow_norm"])
         np.testing.assert_allclose(float(total), 1.0 / (fl * 0.25), rtol=1e-6)
 
+    def test_total_variation_full_domain_exact(self):
+        """A box-cropped field with arg["full_domain"] must reproduce the
+        full-frame TV exactly: TV's dx/dy means divide by (H-1)·W and
+        H·(W-1), so the single area_scale weight factor used for the H·W-mean
+        costs cannot represent it (≈3% per-axis bias for a small box)."""
+        rng = np.random.default_rng(7)
+        h, w = 40, 60
+        x0, x1, y0, y1 = 8, 32, 10, 50
+        flow = np.zeros((2, h, w), np.float32)
+        # support strictly inside the box (zero at the box boundary, like the
+        # masked flow under restrict_to_roi with margin >= 2)
+        flow[:, x0 + 2:x1 - 2, y0 + 2:y1 - 2] = rng.normal(
+            size=(2, x1 - x0 - 4, y1 - y0 - 4))
+        full = float(costs.total_variation({"flow": jnp.asarray(flow)}))
+        crop = float(costs.total_variation(
+            {"flow": jnp.asarray(flow[:, x0:x1, y0:y1]),
+             "full_domain": (h, w)}))
+        np.testing.assert_allclose(crop, full, rtol=1e-6)
+        # and the naive area rescale is measurably wrong — the bias this
+        # path exists to remove
+        box = float(costs.total_variation(
+            {"flow": jnp.asarray(flow[:, x0:x1, y0:y1])}))
+        naive = box * ((x1 - x0) * (y1 - y0)) / (h * w)
+        assert abs(naive - full) / full > 0.01
+
+    def test_charbonnier_full_domain_exact(self):
+        """Charbonnier's summand has a nonzero ε^{2α} floor where δ = 0, so
+        the out-of-box pixels contribute a constant the area-scaled weight
+        cannot represent; full_domain adds it in closed form."""
+        rng = np.random.default_rng(8)
+        h, w = 40, 60
+        x0, x1, y0, y1 = 8, 32, 10, 50
+        # f64 (x64 is on in tests): isolates the closed-form algebra from
+        # f32 summation-order noise (~1e-6 rel between the two sum orders)
+        pred = np.zeros((h, w), np.float64)
+        meas = np.zeros((h, w), np.float64)
+        pred[x0:x1, y0:y1] = rng.normal(size=(x1 - x0, y1 - y0))
+        meas[x0:x1, y0:y1] = rng.normal(size=(x1 - x0, y1 - y0))
+        full = float(costs.charbonnier(
+            {"prediction": jnp.asarray(pred), "measurement": jnp.asarray(meas)}))
+        crop = float(costs.charbonnier(
+            {"prediction": jnp.asarray(pred[x0:x1, y0:y1]),
+             "measurement": jnp.asarray(meas[x0:x1, y0:y1]),
+             "full_domain": (h, w)}))
+        np.testing.assert_allclose(crop, full, rtol=1e-6)
+
     def test_maximize_direction(self):
         fn = costs.hybrid_cost({"flow_norm": 1.0}, direction="maximize")
         total, _ = fn({"flow": jnp.ones((2, 3, 3))})

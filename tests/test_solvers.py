@@ -367,6 +367,42 @@ def test_restrict_to_roi_inv_weight_matches_full_frame(scene):
     assert corr > 0.95, corr
 
 
+def test_restrict_to_roi_tv_charbonnier_match_full_frame(scene):
+    """total_variation and charbonnier under restrict_to_roi keep full-frame
+    semantics via arg["full_domain"] (TV's per-axis divisors and
+    charbonnier's ε-floor constant are not representable as an area-scaled
+    weight) — first-iteration losses from identical params must agree."""
+    import dataclasses
+
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
+
+    I1, _, events = scene
+    ev = events_from_ndarray(events)
+    gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True,
+                         cost_weights=(("diff_norm", 1.0),
+                                       ("total_variation", 5.0),
+                                       ("charbonnier", 2.0)))
+    full = PyramidSpec(gen=gen, roi=(0, H, 16, 80), coarsest_patch=16,
+                       finest_patch=8, n_iter=40)
+    fast = dataclasses.replace(full, restrict_to_roi=True)
+    mask = jnp.asarray(roi_mask(full))
+    key = jax.random.PRNGKey(0)
+    f_full, aux_f = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                                   key, full)
+    f_fast, aux_r = estimate_frame(ev, jnp.asarray(I1, jnp.float32), mask,
+                                   key, fast)
+    l0_full = float(np.asarray(aux_f["loss_history"][0]).ravel()[0])
+    l0_fast = float(np.asarray(aux_r["loss_history"][0]).ravel()[0])
+    assert abs(l0_fast - l0_full) / abs(l0_full) < 0.05, (l0_full, l0_fast)
+    a = np.asarray(f_full)[:, :, 16:80]
+    b = np.asarray(f_fast)[:, :, 16:80]
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_multistart_selects_best_loss_restart(scene):
     """``n_restarts: R`` vmaps the pyramid solve over R random inits and
     returns the restart with the lowest finest-scale loss — identical to

@@ -42,9 +42,8 @@ class TestWireRoundtrip:
         np.testing.assert_array_equal(np.asarray(ev.y), np.asarray(ref.y))
         np.testing.assert_array_equal(np.asarray(ev.valid),
                                       np.asarray(ref.valid))
-        # polarity decodes to ±1 — downstream only tests p > 0
-        assert ((np.asarray(ev.p)[:len(arr)] > 0)
-                == (arr[:, 3] > 0)).all()
+        # polarity round-trips bit-exactly (raw values, not sign-collapsed)
+        np.testing.assert_array_equal(np.asarray(ev.p), np.asarray(ref.p))
         # timestamps decode within 2 f32 ulps of the direct upload
         np.testing.assert_allclose(np.asarray(ev.t)[:len(arr)],
                                    np.asarray(ref.t)[:len(arr)], rtol=3e-7,
@@ -90,6 +89,40 @@ class TestWireRoundtrip:
         wire = encode_wire_events(np.zeros((0, 4)), 4096)
         ev = decode_wire_events(wire)
         assert int(ev.count()) == 0
+
+    def test_zero_one_polarity_bit_exact(self):
+        """CCS HDF5 streams carry p ∈ {0, 1}; the wire must reproduce the
+        exact values the direct upload would hold (voxel ops read p's value,
+        not just the p>0 predicate)."""
+        arr = _batch()
+        arr[:, 3] = (arr[:, 3] > 0).astype(np.float64)  # 0/1 stream
+        wire = encode_wire_events(arr, 8192)
+        assert wire is not None
+        ev = decode_wire_events(wire)
+        ref = events_from_ndarray(arr, capacity=8192)
+        np.testing.assert_array_equal(np.asarray(ev.p), np.asarray(ref.p))
+
+    def test_nan_falls_back(self):
+        """NaN passes every range comparison (all False), so without an
+        explicit finite gate the encoder would fabricate a valid event from
+        an undefined NaN→uint16 cast.  It must fall back instead."""
+        for col in range(4):
+            arr = _batch()
+            arr[7, col] = np.nan
+            assert encode_wire_events(arr, 8192) is None
+            assert encode_wire_events(arr, 8192, mode="round") is None
+        # ... but a NaN timestamp doesn't block a t-less upload
+        arr = _batch()
+        arr[7, 2] = np.nan
+        assert encode_wire_events(arr, 8192, include_t=False) is not None
+
+    def test_fractional_polarity_falls_back(self):
+        arr = _batch()
+        arr[3, 3] = 0.5  # not representable in the i8 polarity wire
+        assert encode_wire_events(arr, 8192) is None
+        arr2 = _batch()
+        arr2[3, 3] = 200.0  # outside int8 range
+        assert encode_wire_events(arr2, 8192, mode="round") is None
 
 
 class TestWireRoundMode:
@@ -166,6 +199,34 @@ def test_facade_rejects_unknown_wire_config():
     with pytest.raises(ValueError):
         collections["patch_eklt_pyramid2"](
             (H, W), (H, W), {}, dict(base, quantized_upload="lossy"), None)
+
+
+def test_flow_fetch_dtype_rejected_on_unsupporting_solver():
+    """Only the pyramid facade's program casts the fetched flow; a VALID
+    dtype on any other solver must be rejected, not silently ignored —
+    otherwise the operator measures an uncompressed fetch while believing
+    the bytes were halved."""
+    import pytest
+
+    from event_based_bos_tpu.solver import collections
+
+    cfg = {"method": "generative_max_likelihood", "outer_padding": 0,
+           "flow_fetch_dtype": "float16",
+           "cost_with_weight": {"diff_norm": 1.0},
+           "optimizer": {"method": "optuna", "sampler": "random", "n_iter": 4,
+                         "parameters": {"v_x": {"min": -3, "max": 3},
+                                        "v_y": {"min": -3, "max": 3}}},
+           "generative_ml": {"weight_loss_by_event_hist": False,
+                             "weight_sigma": 5,
+                             "weight_loss_by_inverse_event_hist": False,
+                             "optimize_warp": False, "iwe_sigma": 2,
+                             "viz_diff_scale": [-0.25, 0.25],
+                             "no_polarity": False, "model_image": "current",
+                             "use_log_intensity": False,
+                             "poisson_model": False}}
+    with pytest.raises(ValueError, match="flow_fetch_dtype"):
+        collections["generative_max_likelihood"]((H, W), (H, W), {}, cfg,
+                                                 None)
 
 
 def test_facade_round_mode_matches_f32_on_integer_coords():
