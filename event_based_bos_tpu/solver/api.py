@@ -15,6 +15,7 @@ equals the pattern displacement in (row, col) — see ``docs/conventions.md``.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import os
@@ -803,34 +804,57 @@ class PatchEkltPyramid2(SolverBase):
             raise ValueError("n_restarts > 1 is a cold-start feature; it "
                              "does not compose with warm_start (all "
                              "restarts would share the warm init).")
+        steady = self.slv_config.get("steady_n_iter")
+        if steady is not None:
+            # Warm starts carry convergence across frames, so warm-started
+            # frames can run a shorter schedule than the cold floor
+            # (measured: steady EPE unchanged at n_iter=300 vs the cold
+            # floor of 450 — tools/warmstart_probe.py, docs/performance.md
+            # §schedule scaling).  Frame 0 (and any frame after a reset)
+            # keeps the full ``n_iter``.
+            steady = int(steady)
+            if not self.slv_config.get("warm_start"):
+                raise ValueError(
+                    "steady_n_iter requires warm_start: true — it shortens "
+                    "only warm-started frames; without warm starts every "
+                    "frame is cold and must run the full n_iter.")
+            if steady < 1:
+                raise ValueError(f"steady_n_iter must be >= 1, got {steady}")
+            self.spec_steady = dataclasses.replace(
+                self.spec, n_iter=steady,
+                record_evolution=_evolution_stride(self.slv_config, steady))
+        else:
+            self.spec_steady = None
         self._mask = jnp.asarray(roi_mask(self.spec))
         self._jitted = {}
         self._last_aux = None
 
-    def _solver_fn(self, capacity: int):
-        # one jitted callable per capacity bucket; jax.jit itself re-traces
-        # (and caches) per input structure, so the cold/warm-start variants
-        # (prev_params None vs array) share the entry
-        if capacity not in self._jitted:
+    def _solver_fn(self, capacity: int, steady: bool = False):
+        # one jitted callable per (capacity bucket, schedule); jax.jit
+        # itself re-traces (and caches) per input structure, so the
+        # cold/warm-start variants (prev_params None vs array) share an
+        # entry.  ``steady`` selects the shortened warm-frame schedule
+        # when ``steady_n_iter`` is configured.
+        spec = self.spec_steady if steady else self.spec
+        if (capacity, steady) not in self._jitted:
             logger.info(
                 "Building the solve program for event capacity %d — the "
                 "first frame includes compilation (can take minutes on "
                 "remote backends; subsequent frames are milliseconds).",
                 capacity)
-            base = functools.partial(estimate_frame, spec=self.spec)
+            base = functools.partial(estimate_frame, spec=spec)
             if self._fetch_dtype is not None:
                 fetch_dtype = self._fetch_dtype
 
                 def base(ev, frame, mask, key, prev_params=None,
-                         _inner=functools.partial(estimate_frame,
-                                                  spec=self.spec)):
+                         _inner=functools.partial(estimate_frame, spec=spec)):
                     # cast the fetched flow inside the same program: halves
                     # the device→host bytes of the serving path
                     flow, aux = _inner(ev, frame, mask, key,
                                        prev_params=prev_params)
                     return flow.astype(fetch_dtype), aux
-            self._jitted[capacity] = jax.jit(base)
-        return self._jitted[capacity]
+            self._jitted[(capacity, steady)] = jax.jit(base)
+        return self._jitted[(capacity, steady)]
 
     def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         """Dispatch the pyramid solve; all device work (including the
@@ -844,7 +868,9 @@ class PatchEkltPyramid2(SolverBase):
         ev = self._to_events(events, need_t=False)
         frame = jnp.asarray(self._model_frame(kwargs), self.dtype)
         prev = self.previous_frame_best_estimation
-        fn = self._solver_fn(ev.capacity)
+        steady = self.spec_steady is not None and prev is not None
+        used_spec = self.spec_steady if steady else self.spec
+        fn = self._solver_fn(ev.capacity, steady=steady)
         flow, aux = fn(ev, frame, self._mask, self._next_key(),
                        prev_params=prev)
         self._last_aux = aux
@@ -862,7 +888,7 @@ class PatchEkltPyramid2(SolverBase):
             from .pyramid import update_coarse_from_fine
 
             self.set_previous_frame_best_estimation(
-                update_coarse_from_fine(aux["params_per_scale"], self.spec))
+                update_coarse_from_fine(aux["params_per_scale"], used_spec))
 
         def finalize() -> np.ndarray:
             if self.visualizer is not None:
@@ -873,7 +899,7 @@ class PatchEkltPyramid2(SolverBase):
                     from .evolution import render_pyramid_evolution
 
                     render_pyramid_evolution(self.visualizer, frame, ev, aux,
-                                             self.spec, self.iter_cnt,
+                                             used_spec, self.iter_cnt,
                                              diff_scale=self._viz_diff_scale())
             self.iter_cnt += 1
             return self._orient_flow(np.asarray(flow, dtype=np.float32))

@@ -534,3 +534,36 @@ def test_debug_evolution_video(scene, tmp_path):
     assert np.isfinite(flow2).all()
     gml_dir = tmp_path / "gml" / "0"
     assert list(gml_dir.glob("opt_prediction*.png"))
+
+
+def test_steady_n_iter_shortens_warm_frames(scene):
+    """``steady_n_iter`` runs frame 0 at the full schedule and warm-started
+    frames at the shortened one (measured rationale: docs/performance.md
+    §schedule scaling, tools/warmstart_probe.py)."""
+    I1, I2, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["warm_start"] = True
+    cfg["steady_n_iter"] = 12
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    f1 = solv.estimate(events, None, frame=I1, background=I1)
+    hist_cold = [np.asarray(h) for h in solv._last_aux["loss_history"]]
+    assert solv.previous_frame_best_estimation is not None
+    f2 = solv.estimate(events, None, frame=I2, background=I1)
+    hist_warm = [np.asarray(h) for h in solv._last_aux["loss_history"]]
+    # full n_iter=24 over 2 scales -> finest 24//2 = 12 steps;
+    # steady n_iter=12 -> finest 12//2 = 6 steps
+    assert len(hist_cold[-1]) == 12 and len(hist_warm[-1]) == 6
+    assert np.isfinite(f1).all() and np.isfinite(f2).all()
+    # the warm frame keeps feeding the chain
+    assert solv.previous_frame_best_estimation is not None
+
+
+def test_steady_n_iter_validation(scene):
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["steady_n_iter"] = 12  # no warm_start
+    with pytest.raises(ValueError, match="warm_start"):
+        collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    cfg["warm_start"] = True
+    cfg["steady_n_iter"] = 0
+    with pytest.raises(ValueError, match="steady_n_iter"):
+        collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
