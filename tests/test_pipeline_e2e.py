@@ -523,3 +523,30 @@ def test_fwl_metric_in_eval(tiny_config, tmp_path):
 
     per, stats = read_flow_error_text(os.path.join(out_dir, "fwl_per_frame.txt"))
     assert np.isfinite(stats["FWL"]["mean"])
+
+
+def test_steady_n_iter_pipeline_matches_sync(tiny_config, tmp_path):
+    """warm_start + steady_n_iter must pick the cold/steady program by frame
+    position identically in the synchronous and pipelined loops (the warm
+    feedback is enqueued at dispatch time, so ordering is preserved)."""
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["solver"]["warm_start"] = True
+    cfg["solver"]["steady_n_iter"] = 10
+    outs = {}
+    for mode in ("sync", "pipe"):
+        c = dict(cfg)
+        c["pipeline"] = mode == "pipe"
+        c["output_dir"] = str(tmp_path / f"out_{mode}")
+        p = tmp_path / f"{mode}.yaml"
+        p.write_text(yaml.safe_dump(c))
+        assert cli.main(["--config_file", str(p), "--eval",
+                         "--log", "warning"]) == 0
+        outs[mode] = c["output_dir"]
+    flows = sorted(f for f in os.listdir(outs["sync"])
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert len(flows) >= 3  # frame 0 cold + at least two steady frames
+    for f in flows:
+        np.testing.assert_array_equal(
+            np.load(os.path.join(outs["sync"], f)),
+            np.load(os.path.join(outs["pipe"], f)))

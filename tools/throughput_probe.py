@@ -77,7 +77,8 @@ def build_config(out_dir: str, n_frames: int, small: bool) -> dict:
 
 
 def run_once(pipeline: bool, n_frames: int, small: bool,
-             serve: bool = False, wire: bool = False) -> dict:
+             serve: bool = False, wire: bool = False,
+             fast: bool = False) -> dict:
     import yaml
 
     from event_based_bos_tpu import cli
@@ -95,6 +96,13 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
         # 9 B/event wire.  Coordinates are integers — decoded bit-exactly.
         cfg["solver"]["quantized_upload"] = "round"
         cfg["solver"]["flow_fetch_dtype"] = "float16"
+    if fast:
+        # the measured production recipe (docs/performance.md §schedule
+        # scaling): exact-ROI box compute + warm-started frames on the
+        # EPE-neutral half schedule
+        cfg["solver"]["restrict_to_roi"] = True
+        cfg["solver"]["warm_start"] = True
+        cfg["solver"]["steady_n_iter"] = 300
     cfg_path = os.path.join(out, "cfg.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -128,6 +136,17 @@ def main():
     # warmup run populates the persistent compile cache so both timed runs
     # see warm compiles (first-program penalty documented in
     # docs/performance.md)
+    if "--fast-only" in sys.argv:
+        # production recipe: serving + wire + exact-ROI + warm/steady —
+        # its programs are small (ROI box), so no parity-size warmup run
+        serve_f = run_once(True, n_frames, small, serve=True, wire=True,
+                           fast=True)
+        print(json.dumps({
+            "serving_fast_s_per_frame": round(serve_f["s_per_frame"], 3),
+            "serving_fast_steady": round(serve_f["steady_s_per_frame"], 3),
+            "frames": serve_f["frames"]}))
+        sys.stdout.flush()
+        os._exit(0)
     run_once(False, 2, small)
     if "--serving-only" in sys.argv:
         serve = run_once(True, n_frames, small, serve=True)
