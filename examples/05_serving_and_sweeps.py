@@ -1,5 +1,5 @@
 """Round-3 features tour: exact-ROI fast path, sequential TPE, quantized
-serving wire, mesh multi-start.
+serving wire, mesh multi-start, warm-started steady schedule.
 
 Runs on CPU or the TPU chip; no dataset needed.
 
@@ -66,3 +66,26 @@ flow_ms, aux = jax.jit(functools.partial(estimate_frame, spec=ms))(
     ev, jnp.asarray(frame, jnp.float32), mask, jax.random.PRNGKey(0))
 print(f"multi-start best-of-4: final loss "
       f"{float(aux['loss_history'][-1][-1]):.4f}")
+
+# --- 5. Sequential warm starts + steady schedule: frame 0 runs the full
+#        n_iter, warm-started frames hold EPE at half of it (measured:
+#        docs/performance.md §schedule scaling).  The CLI wires this via
+#        warm_start: true + steady_n_iter in the solver config. ---
+from event_based_bos_tpu.solver.pyramid import update_coarse_from_fine
+
+steady = dataclasses.replace(spec, n_iter=30)
+solve_cold = jax.jit(functools.partial(estimate_frame, spec=spec))
+solve_steady = jax.jit(functools.partial(estimate_frame, spec=steady))
+key, prev = jax.random.PRNGKey(1), None
+for i in range(3):
+    fr = jnp.asarray(seq["frames"][min(i + 1, len(seq["frames"]) - 1)],
+                     jnp.float32)
+    fn = solve_cold if prev is None else solve_steady
+    flow_i, aux = fn(ev, fr, mask, key, prev_params=prev)
+    prev = update_coarse_from_fine(aux["params_per_scale"],
+                                   spec if i == 0 else steady)
+    key = jax.random.fold_in(key, i)
+    steps = len(np.asarray(aux["loss_history"][-1]))
+    print(f"frame {i}: {'cold' if i == 0 else 'steady'} schedule, "
+          f"{steps} finest-scale steps, final loss "
+          f"{float(aux['loss_history'][-1][-1]):.4f}")

@@ -28,7 +28,8 @@ def test_custom_cost_runs(capsys):
 
 
 @pytest.mark.parametrize("name", ["02_solve_synthetic_frame.py",
-                                  "03_multichip_batch.py"])
+                                  "03_multichip_batch.py",
+                                  "05_serving_and_sweeps.py"])
 def test_slow_examples_compile(name):
     """Syntax/import sanity for the examples too slow for CI."""
     rc = subprocess.run([sys.executable, "-m", "py_compile",
