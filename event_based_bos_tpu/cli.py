@@ -157,6 +157,24 @@ def evaluate_per_frames(config, loader, solv, viz):
     convention = config.get("flow_convention", "reference")
     estimator = frame_flow.FrameFlowEstimator(viz, convention=convention)
 
+    prewarm = config.get("prewarm")
+    if prewarm and not mesh_cfg:
+        # Dispatch a throwaway solve NOW so the backend's heavy-tailed
+        # first-execution stall (server-side, cache-independent —
+        # docs/performance.md §cold start) overlaps the host-side frame IO /
+        # GT / windowing below instead of serializing after it.  The event
+        # capacity is a hint: ``prewarm: true`` derives it from
+        # ``n_events_per_batch``; an integer value pins it explicitly.  A
+        # wrong hint only wastes the one dummy compile.
+        cap_hint = prewarm if not isinstance(prewarm, bool) else n_events
+        if cap_hint:
+            from .types import bucket_capacity
+
+            solv.prewarm(bucket_capacity(int(cap_hint)))
+        else:
+            logger.warning("prewarm: true needs n_events_per_batch (or an "
+                           "integer prewarm capacity) — skipped.")
+
     im0, _ = loader.load_image(0)
     _frame0 = validate_image(im0, common)
     remove_nose = utils.check_key_and_bool(config["data"], "remove_nose")

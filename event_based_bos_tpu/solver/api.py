@@ -277,6 +277,14 @@ class SolverBase:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def prewarm(self, capacity: int) -> None:
+        """Dispatch a throwaway solve so the backend's heavy-tailed
+        first-execution stall overlaps the host-side preparation of the
+        first real frame (JAX dispatch is asynchronous; the result is never
+        fetched).  No-op here — solvers with a cached jitted program
+        override.  Must never consume ``_next_key`` (outputs of the real
+        frames must be bit-identical with and without prewarming)."""
+
     def _to_events(self, events, need_t: bool = True) -> Events:
         """Upload an event batch (or pass :class:`Events` through).
 
@@ -855,6 +863,21 @@ class PatchEkltPyramid2(SolverBase):
                     return flow.astype(fetch_dtype), aux
             self._jitted[(capacity, steady)] = jax.jit(base)
         return self._jitted[(capacity, steady)]
+
+    def prewarm(self, capacity: int) -> None:
+        """Trace/compile the cold-start solve program for ``capacity`` and
+        dispatch it once on an all-invalid dummy batch.  The compile blocks
+        the host briefly; the first *execution* — where this backend's
+        heavy-tailed server-side stall lives (docs/performance.md §cold
+        start) — runs asynchronously, overlapping the host-side prep of the
+        first real frame.  Uses a fixed RNG key so the solver's key stream
+        (and therefore every real frame's output) is unchanged."""
+        fn = self._solver_fn(capacity)
+        ev = events_from_ndarray(np.zeros((0, 4), np.float32),
+                                 capacity=capacity)
+        frame = jnp.zeros(self.orig_image_shape, self.dtype)
+        self._prewarm_out = fn(ev, frame, self._mask, jax.random.PRNGKey(0),
+                               prev_params=None)
 
     def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         """Dispatch the pyramid solve; all device work (including the

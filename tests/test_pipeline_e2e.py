@@ -550,3 +550,29 @@ def test_steady_n_iter_pipeline_matches_sync(tiny_config, tmp_path):
         np.testing.assert_array_equal(
             np.load(os.path.join(outs["sync"], f)),
             np.load(os.path.join(outs["pipe"], f)))
+
+
+def test_prewarm_keeps_outputs_identical(tiny_config, tmp_path):
+    """``prewarm: true`` dispatches a throwaway solve before the frame loop
+    (overlapping the backend's first-execution stall with host prep); it
+    must not touch the solver's RNG stream — outputs bit-identical."""
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["data"]["n_events_per_batch"] = 6000
+    outs = {}
+    for mode in ("plain", "prewarm"):
+        c = dict(cfg)
+        c["prewarm"] = mode == "prewarm"
+        c["output_dir"] = str(tmp_path / f"o_{mode}")
+        p = tmp_path / f"{mode}.yaml"
+        p.write_text(yaml.safe_dump(c))
+        assert cli.main(["--config_file", str(p), "--eval",
+                         "--log", "warning"]) == 0
+        outs[mode] = c["output_dir"]
+    flows = sorted(f for f in os.listdir(outs["plain"])
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert flows
+    for f in flows:
+        np.testing.assert_array_equal(
+            np.load(os.path.join(outs["plain"], f)),
+            np.load(os.path.join(outs["prewarm"], f)))
