@@ -91,6 +91,14 @@ def evaluate_per_frames(config, loader, solv, viz):
       with ``model_image: current`` and no ``warm_start`` (frames in a step
       are solved simultaneously).  RNG-key order per frame matches the
       single-chip loop.
+
+    * ``mesh: {data: D, event: E, sequential: true}`` + ``warm_start: true``
+      scales the *sequential* warm-start algorithm instead: the frame range
+      splits into D contiguous segments, each data lane runs its own
+      warm-started chain (optionally at ``steady_n_iter``), and step *t*
+      solves frame *t* of every segment in one program with the feedback
+      params carried on device (``parallel.make_multichip_sequential``).
+      Frame numbering is time-order positional.
     """
     import contextlib
 
@@ -105,6 +113,8 @@ def evaluate_per_frames(config, loader, solv, viz):
 
     mesh_cfg = config.get("mesh")
     batched_step = mesh_B = None
+    seq_steps = None  # mesh sequential mode: (step_cold, step_warm)
+    mesh_sequential = bool(mesh_cfg.get("sequential")) if mesh_cfg else False
     if mesh_cfg:
         import jax
         import jax.numpy as jnp
@@ -113,9 +123,25 @@ def evaluate_per_frames(config, loader, solv, viz):
 
         if config["solver"].get("method") != "patch_eklt_pyramid2":
             raise ValueError("mesh mode needs the patch_eklt_pyramid2 solver")
-        if config["solver"].get("warm_start"):
+        if config["solver"].get("warm_start") and not mesh_sequential:
             raise ValueError("warm_start is sequential — incompatible with "
-                             "mesh (simultaneous) frame batching")
+                             "mesh (simultaneous) frame batching; to scale "
+                             "the warm-start chain across chips set "
+                             "mesh: {sequential: true} (contiguous frame "
+                             "segments, one warm chain per data lane)")
+        if mesh_sequential:
+            if not config["solver"].get("warm_start"):
+                raise ValueError("mesh: {sequential: true} scales the "
+                                 "warm-start chain — set solver "
+                                 "warm_start: true")
+            if config.get("resume"):
+                raise ValueError("resume is not supported in sequential "
+                                 "mesh mode (a skipped frame would leave "
+                                 "its lane's warm chain undefined)")
+            if pipeline:
+                raise ValueError("pipeline: true is not supported in "
+                                 "sequential mesh mode (the segmented loop "
+                                 "schedules its own steps)")
         gml_cfg = config["solver"].get("generative_ml", {})
         if gml_cfg.get("model_image", "current") != "current":
             raise ValueError("mesh mode supports model_image: current")
@@ -126,9 +152,32 @@ def evaluate_per_frames(config, loader, solv, viz):
             raise ValueError(f"mesh event axis must be a power of two to "
                              f"divide the padded event buckets, got {mesh_E}")
         mesh_B = int(mesh_cfg.get("data", 1))
-        mesh = make_mesh((mesh_B, mesh_E))
+        n_mesh = mesh_B * mesh_E
+        if n_mesh > len(jax.devices()):
+            raise ValueError(f"mesh {{data: {mesh_B}, event: {mesh_E}}} "
+                             f"needs {n_mesh} devices; "
+                             f"{len(jax.devices())} available")
+        # a sub-mesh is fine: a D×E smaller than the host's device count
+        # simply leaves the remaining chips idle
+        mesh = make_mesh((mesh_B, mesh_E), devices=jax.devices()[:n_mesh])
         n_restarts = int(config["solver"].get("n_restarts", 1))
-        if n_restarts > 1:
+        if mesh_sequential:
+            # D contiguous frame segments, one warm-start chain per data
+            # lane, coarse-from-fine feedback carried inside the jitted
+            # step (n_restarts+warm_start is already rejected by the
+            # facade, so this branch never sees restarts)
+            from .parallel import make_multichip_sequential
+
+            seq_steps = make_multichip_sequential(
+                solv.spec, mesh, steady_spec=solv.spec_steady,
+                fetch_dtype=solv._fetch_dtype)
+            logger.info(
+                "Multi-chip sequential evaluation: mesh %s — %d warm-start "
+                "segments in lockstep%s.",
+                dict(zip(mesh.axis_names, mesh.devices.shape)), mesh_B,
+                (" (steady_n_iter=%d)" % solv.spec_steady.n_iter)
+                if solv.spec_steady is not None else "")
+        elif n_restarts > 1:
             # restarts (not frames) shard over the data axis: one frame per
             # step, R/D restart lanes per chip, best-loss selection matching
             # the single-chip multi-start exactly
@@ -188,10 +237,14 @@ def evaluate_per_frames(config, loader, solv, viz):
     # in production order, so numbering matches a fresh run in both modes
     _next_frame = [0]
 
-    def produce(i1):
+    def produce(i1, fi_override=None):
         """Host stage: frame IO, collapse check, frame numbering, resume
         lookup, then GT flow + event-window assembly
-        (``bos_event.py:144-182``).  Returns (tag, i_frame, work)."""
+        (``bos_event.py:144-182``).  Returns (tag, i_frame, work).
+
+        ``fi_override`` (sequential mesh mode) pins the frame number to the
+        frame's *time-order* position instead of production order — the
+        segmented loop produces frames in transposed (lane-major) order."""
         with _section("prepare"):
             i2 = i1 + eval_dt
             im1, t1 = loader.load_image(i1)
@@ -201,8 +254,11 @@ def evaluate_per_frames(config, loader, solv, viz):
             if frame1.shape != cropped_shape or frame2.shape != cropped_shape:
                 logger.warning("Frame may be collapsed — i1=%s i2=%s", i1, i2)
                 return ("collapsed", None, None)
-            fi = _next_frame[0]
-            _next_frame[0] = fi + 1
+            if fi_override is not None:
+                fi = fi_override
+            else:
+                fi = _next_frame[0]
+                _next_frame[0] = fi + 1
             if store is not None and fi in store:
                 return ("resumed", fi, None)
             work = _prepare_work(im1, t1, t2, frame1, frame2)
@@ -357,11 +413,92 @@ def evaluate_per_frames(config, loader, solv, viz):
 
             finalize(w, EstimationHandle(_fin), fi)
 
+    def run_segmented(indices):
+        """Sequential mesh mode: split ``indices`` into ``mesh_B`` contiguous
+        segments and advance all segments in lockstep — step *t* solves
+        frame *t* of every segment in ONE data-parallel program, with each
+        lane's warm-start params carried on device between steps
+        (``parallel.make_multichip_sequential``).
+
+        Frame numbers are the frames' time-order positions (deterministic
+        regardless of lane scheduling).  A collapsed frame keeps its lane's
+        previous params (the dummy solve's feedback is gated out by
+        ``carry_valid``); a collapse at a lane's FIRST step leaves the
+        lane warm-starting from the dummy cold solve — an init heuristic
+        either way, matching the spirit of ``warm_start``.  The warm chain
+        resets at each ``time_list`` range, like the single-chip loop
+        restarted per range would."""
+        import jax.numpy as jnp
+
+        from .parallel import stack_events
+        from .solver.api import EstimationHandle
+        from .types import pad_events
+
+        step_cold, step_warm = seq_steps
+        idx = list(indices)
+        if not idx:
+            return
+        base = _next_frame[0]
+        _next_frame[0] = base + len(idx)
+        bounds = [round(d * len(idx) / mesh_B) for d in range(mesh_B + 1)]
+        segments = [idx[bounds[d]:bounds[d + 1]] for d in range(mesh_B)]
+        prev = None
+        for t in range(max(len(s) for s in segments)):
+            lane_items = []  # (fi, work-or-None) per lane
+            for d in range(mesh_B):
+                if t < len(segments[d]):
+                    fi = base + bounds[d] + t
+                    tag, _, work = produce(segments[d][t], fi_override=fi)
+                    lane_items.append((fi, work if tag == "work" else None))
+                else:
+                    lane_items.append((None, None))  # exhausted lane
+            dummy = next((w for _, w in lane_items if w is not None), None)
+            if dummy is None:  # a whole step of collapsed/exhausted lanes
+                continue
+            with _section("estimate"):
+                cap = max(w["filtered"].capacity
+                          for _, w in lane_items if w is not None)
+                evs, frames_l, keys = [], [], []
+                for _, w in lane_items:
+                    src = w if w is not None else dummy
+                    evs.append(pad_events(src["filtered"], cap))
+                    frames_l.append(jnp.asarray(src["im1"], solv.dtype))
+                    keys.append(solv._next_key())
+                ev_b = stack_events(evs)
+                frames = jnp.stack(frames_l)
+                valid = jnp.asarray([w is not None for _, w in lane_items])
+                if prev is None:
+                    flows, prev, losses = step_cold(ev_b, frames, solv._mask,
+                                                    jnp.stack(keys))
+                else:
+                    flows, prev, losses = step_warm(ev_b, frames, solv._mask,
+                                                    jnp.stack(keys), prev,
+                                                    valid)
+            for j, (fi, w) in enumerate(lane_items):
+                if w is None:
+                    continue
+                flow_j = flows[j]
+                hist_j = [h[j] for h in losses]
+
+                def _fin(flow_j=flow_j, hist_j=hist_j):
+                    if solv.visualizer is not None:
+                        solv.visualizer.visualize_scipy_history(
+                            {f"scale{i}": np.asarray(h)
+                             for i, h in enumerate(hist_j)})
+                    solv.iter_cnt += 1
+                    return solv._orient_flow(
+                        np.asarray(flow_j, dtype=np.float32))
+
+                finalize(w, EstimationHandle(_fin), fi)
+
     for t_start, t_end in eval_config["time_list"]:
         ind_start = loader.time_to_image_index(t_start) + 1
         ind_end = loader.time_to_image_index(t_end) - eval_dt
         logger.info("Evaluating frames %d..%d", ind_start, ind_end)
         indices = range(ind_start, ind_end)
+        if mesh_sequential:
+            run_segmented(indices)
+            continue
         # one-deep software pipeline: produce(i+1) ‖ solve(i) ‖ finalize(i−1)
         stream = (_prefetched(indices, produce) if pipeline
                   else (produce(i1) for i1 in indices))

@@ -15,6 +15,7 @@ from .mesh import make_mesh  # noqa: F401
 from .sharding import (  # noqa: F401
     make_multichip_estimator,
     make_multichip_multistart,
+    make_multichip_sequential,
     sharded_polarity_votes,
 )
 from .sweep import hyperparam_sweep, stack_events  # noqa: F401

@@ -29,7 +29,7 @@ from ..ops.gradients import frame_gradients
 from ..types import Events
 
 __all__ = ["sharded_polarity_votes", "make_multichip_estimator",
-           "make_multichip_multistart"]
+           "make_multichip_multistart", "make_multichip_sequential"]
 
 
 def sharded_polarity_votes(ev: Events, spec: GenerativeSpec,
@@ -186,3 +186,99 @@ def make_multichip_estimator(spec: PyramidSpec, mesh: jax.sharding.Mesh,
         return flows, losses
 
     return jax.jit(step)
+
+
+def make_multichip_sequential(spec: PyramidSpec, mesh: jax.sharding.Mesh,
+                              steady_spec: Optional[PyramidSpec] = None,
+                              fetch_dtype=None):
+    """Data-parallel *warm-started sequences*: D segments advance in lockstep.
+
+    The warm-start chain (``patch_eklt_pyramid2.py:234-251`` semantics, the
+    mechanism :func:`..solver.pyramid.solve_pyramid` implements via
+    ``prev_params``) is inherently sequential, so plain mesh frame batching
+    rejects it.  This step scales it out the other way: split the frame
+    range into D contiguous segments, and each device-lane runs its own
+    warm-started sequence — step *t* solves frame *t* of every segment,
+    with the coarse-from-fine feedback carried per lane *inside* the jitted
+    program (no per-frame host round-trip for the params).
+
+    Returns ``(step_cold, step_warm)``:
+
+    * ``step_cold(ev [D, N], frames [D, H, W], mask, keys [D]) ->
+      (flows, prev, losses)`` — every lane cold-starts at the full
+      schedule (used for step 0 / chain resets).
+    * ``step_warm(ev, frames, mask, keys, prev, carry_valid [D]) ->
+      (flows, prev', losses)`` — lanes run ``steady_spec`` (or ``spec``)
+      warm-started from ``prev``; where ``carry_valid`` is False the lane's
+      output feedback is discarded and its incoming ``prev`` carried
+      through unchanged (dummy frames padding an exhausted / collapsed
+      lane must not poison the chain).
+
+    ``prev`` is the coarse-from-fine parameter pytree with a leading lane
+    axis (list over scales of ``[D, dim, gh, gw]``).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..solver.pyramid import update_coarse_from_fine
+
+    gen = spec.gen
+    if spec.n_restarts > 1:
+        raise ValueError("sequential mesh mode is warm-start based; "
+                         "n_restarts > 1 is a cold-start feature "
+                         "(see the facade's warm_start validation)")
+    specs = {}
+    for name, s in (("cold", spec), ("warm", steady_spec or spec)):
+        if s.record_evolution > 0:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "record_evolution is not supported by the mesh sequential "
+                "step; disabling recording for this estimator.")
+            s = dataclasses.replace(s, record_evolution=0)
+        specs[name] = s
+
+    def _solve_lanes(ev, frames, mask, keys, s, prev=None):
+        pol = sharded_polarity_votes(ev, gen, mesh)
+        pol = jax.lax.with_sharding_constraint(
+            pol, NamedSharding(mesh, P("data")))
+
+        def solve_one(pol_i, frame_i, key_i, prev_i):
+            hist, weights, weight_inverse = iwe_cache_from_votes(pol_i, gen)
+            gx, gy = frame_gradients(frame_i.astype(gen.dtype),
+                                     ksize=gen.sobel_ksize,
+                                     use_log_intensity=gen.use_log_intensity)
+            flow, aux = solve_pyramid(hist, weights, weight_inverse, gx, gy,
+                                      mask, key_i, s, prev_params=prev_i)
+            nxt = update_coarse_from_fine(aux["params_per_scale"], s)
+            return flow, nxt, tuple(aux["loss_history"])
+
+        if prev is None:
+            flows, nxt, losses = jax.vmap(
+                lambda p, f, k: solve_one(p, f, k, None))(pol, frames, keys)
+        else:
+            flows, nxt, losses = jax.vmap(solve_one)(pol, frames, keys, prev)
+        flows = jax.lax.with_sharding_constraint(
+            flows, NamedSharding(mesh, P("data")))
+        if fetch_dtype is not None:
+            flows = flows.astype(fetch_dtype)
+        return flows, nxt, losses
+
+    def step_cold(ev: Events, frames: jax.Array, mask: jax.Array,
+                  keys: jax.Array):
+        return _solve_lanes(ev, frames, mask, keys, specs["cold"])
+
+    def step_warm(ev: Events, frames: jax.Array, mask: jax.Array,
+                  keys: jax.Array, prev, carry_valid: jax.Array):
+        flows, nxt, losses = _solve_lanes(ev, frames, mask, keys,
+                                          specs["warm"], prev=prev)
+        # exhausted / collapsed lanes keep their incoming params: the dummy
+        # solve's feedback must not enter the chain
+        keep = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                carry_valid.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            nxt, prev)
+        return flows, keep, losses
+
+    return jax.jit(step_cold), jax.jit(step_warm)

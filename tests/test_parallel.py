@@ -185,3 +185,81 @@ def test_hyperparam_sweep_sharded():
     assert np.isfinite(np.asarray(losses)).all()
     # different lrs must give different results
     assert float(jnp.abs(flows[0] - flows[-1]).max()) > 0
+
+
+def test_sequential_mesh_matches_single_device_chains():
+    """D=2 warm-started lanes in lockstep == two single-device warm chains
+    with the same keys (cold step at the full schedule, warm steps at the
+    steady schedule; carry inside the jitted program)."""
+    import dataclasses
+    import functools
+
+    from event_based_bos_tpu.parallel import (make_mesh,
+                                              make_multichip_sequential,
+                                              stack_events)
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import (estimate_frame, roi_mask,
+                                                    update_coarse_from_fine)
+
+    h, w = 32, 48
+    gen = GenerativeSpec(image_size=(h, w), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True)
+    spec = PyramidSpec(gen=gen, roi=(0, h, 8, 40), coarsest_patch=16,
+                       finest_patch=8, n_iter=12)
+    steady = dataclasses.replace(spec, n_iter=6)
+    rng = np.random.default_rng(5)
+
+    def window(seed):
+        r = np.random.default_rng(seed)
+        arr = np.stack([r.uniform(0, h - 1, 2048), r.uniform(0, w - 1, 2048),
+                        np.sort(r.uniform(0, 0.01, 2048)),
+                        r.integers(0, 2, 2048) * 2.0 - 1.0], 1)
+        return (events_from_ndarray(arr, capacity=2048),
+                jnp.asarray(r.uniform(0, 255, (h, w)), jnp.float32))
+
+    # two lanes x three steps of (events, frame)
+    seq = [[window(10 * d + t) for t in range(3)] for d in range(2)]
+    keys = [[jax.random.PRNGKey(100 * d + t) for t in range(3)]
+            for d in range(2)]
+    mask = jnp.asarray(roi_mask(spec))
+
+    # single-device reference: each lane is an independent warm chain
+    want = [[None] * 3 for _ in range(2)]
+    cold = jax.jit(functools.partial(estimate_frame, spec=spec))
+    warm = jax.jit(functools.partial(estimate_frame, spec=steady))
+    for d in range(2):
+        prev = None
+        for t in range(3):
+            ev, fr = seq[d][t]
+            fn = cold if prev is None else warm
+            flow, aux = fn(ev, fr, mask, keys[d][t], prev_params=prev)
+            prev = update_coarse_from_fine(
+                aux["params_per_scale"], spec if t == 0 else steady)
+            want[d][t] = np.asarray(flow)
+
+    mesh = make_mesh((2, 4), ("data", "event"))
+    step_cold, step_warm = make_multichip_sequential(spec, mesh,
+                                                     steady_spec=steady)
+    prev = None
+    for t in range(3):
+        ev_b = stack_events([seq[0][t][0], seq[1][t][0]])
+        frames = jnp.stack([seq[0][t][1], seq[1][t][1]])
+        ks = jnp.stack([keys[0][t], keys[1][t]])
+        if t == 0:
+            flows, prev, _ = step_cold(ev_b, frames, mask, ks)
+        else:
+            flows, prev, _ = step_warm(ev_b, frames, mask, ks, prev,
+                                       jnp.array([True, True]))
+        for d in range(2):
+            np.testing.assert_allclose(np.asarray(flows[d]), want[d][t],
+                                       atol=1e-4)
+
+    # carry_valid=False lanes keep their incoming params bit-for-bit
+    ev_b = stack_events([seq[0][2][0], seq[1][2][0]])
+    frames = jnp.stack([seq[0][2][1], seq[1][2][1]])
+    ks = jnp.stack([keys[0][2], keys[1][2]])
+    _, kept, _ = step_warm(ev_b, frames, mask, ks, prev,
+                           jnp.array([False, True]))
+    for new, old in zip(kept, prev):
+        np.testing.assert_array_equal(np.asarray(new[0]), np.asarray(old[0]))

@@ -576,3 +576,89 @@ def test_prewarm_keeps_outputs_identical(tiny_config, tmp_path):
         np.testing.assert_array_equal(
             np.load(os.path.join(outs["plain"], f)),
             np.load(os.path.join(outs["prewarm"], f)))
+
+
+def test_mesh_sequential_matches_single_chip_warm_chain(tiny_config, tmp_path):
+    """``mesh: {data: 1, sequential: true}`` is the single-chip warm-start
+    loop expressed through the mesh step: same key order, same schedule
+    switching (steady_n_iter), so flows match up to the vote-path's
+    float-order noise."""
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["solver"]["warm_start"] = True
+    cfg["solver"]["steady_n_iter"] = 10
+    p = tmp_path / "single.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["--config_file", str(p), "--eval",
+                     "--log", "warning"]) == 0
+
+    cfg2 = dict(cfg)
+    cfg2["mesh"] = {"data": 1, "event": 1, "sequential": True}
+    out_seq = str(tmp_path / "out_seq")
+    cfg2["output_dir"] = out_seq
+    p2 = tmp_path / "seq1.yaml"
+    p2.write_text(yaml.safe_dump(cfg2))
+    assert cli.main(["--config_file", str(p2), "--eval",
+                     "--log", "warning"]) == 0
+
+    flows = sorted(f for f in os.listdir(out_dir)
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    seq_flows = sorted(f for f in os.listdir(out_seq)
+                       if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert seq_flows == flows and len(flows) >= 3
+    for f in flows:
+        a = np.load(os.path.join(out_dir, f))
+        b = np.load(os.path.join(out_seq, f))
+        denom = np.abs(a).max() + 1e-6
+        assert np.max(np.abs(a - b)) / denom < 0.01, f
+
+
+def test_mesh_sequential_segments_run_lockstep(tiny_config, tmp_path):
+    """D=2 segments advance in lockstep on the 8-virtual-device mesh and
+    produce the full artifact set with time-order frame numbering."""
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["solver"]["warm_start"] = True
+    cfg["solver"]["steady_n_iter"] = 10
+    cfg["mesh"] = {"data": 2, "event": 4, "sequential": True}
+    out_dir = str(tmp_path / "out_seg")
+    cfg["output_dir"] = out_dir
+    p = tmp_path / "seg.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["--config_file", str(p), "--eval",
+                     "--log", "warning"]) == 0
+    flows = sorted(f for f in os.listdir(out_dir)
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert len(flows) >= 3
+    # time-order positional numbering: 0..n-1 contiguous
+    nums = sorted(int(f[len("pred_flow"):-len(".npy")]) for f in flows)
+    assert nums == list(range(len(nums)))
+    for f in flows:
+        assert np.isfinite(np.load(os.path.join(out_dir, f))).all()
+    from event_based_bos_tpu.utils import read_flow_error_text
+
+    _pf, stats = read_flow_error_text(
+        os.path.join(out_dir, "flow_error_per_frame_without_mask.txt"))
+    assert np.isfinite(stats["EPE"]["mean"])
+
+
+def test_mesh_sequential_rejects_incompatible_config(tiny_config, tmp_path):
+    cfg_path, _ = tiny_config
+    base = yaml.safe_load(open(cfg_path))
+
+    def run_with(overrides, match):
+        cfg = yaml.safe_load(yaml.safe_dump(base))
+        cfg["mesh"] = {"data": 2, "event": 4, "sequential": True}
+        for k, v in overrides.items():
+            (cfg if k != "solver" else cfg["solver"]).update(
+                v if k != "solver" else v)
+        p = tmp_path / "bad.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        with pytest.raises(ValueError, match=match):
+            cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+
+    run_with({}, "warm_start")  # sequential needs the warm chain
+    run_with({"solver": {"warm_start": True}, "top": {"resume": True}},
+             "resume")
+    run_with({"solver": {"warm_start": True}, "top": {"pipeline": True}},
+             "pipeline")
