@@ -318,6 +318,11 @@ def evaluate_per_frames(config, loader, solv, viz):
             return _finalize(work, handle, i_frame)
 
     def _finalize(work, handle, i_frame):
+        if viz is not None:
+            # artifact names follow the frame number, not finalize call
+            # order — they differ in sequential mesh mode (lane-major
+            # steps) and under resume (skipped frames)
+            viz.set_frame_index(i_frame)
         with _section("finalize/solve_wait"):
             estimation = handle.result()
         gt_flow, filtered = work["gt_flow"], work["filtered"]

@@ -76,6 +76,7 @@ class Visualizer:
         self.default_prefix = "image"
         self.default_save_count = 0
         self.prefixed_save_count: dict = {}
+        self._frame_index_override: Optional[int] = None
         self.save_dir = save_dir or "."
         if save:
             os.makedirs(self.save_dir, exist_ok=True)
@@ -85,6 +86,18 @@ class Visualizer:
         self.save_dir = new_dir
         os.makedirs(new_dir, exist_ok=True)
 
+    def set_frame_index(self, index: Optional[int]) -> None:
+        """Pin prefixed filenames to an explicit frame index.
+
+        The reference numbers artifacts by per-prefix *call order*
+        (``visualizer.py:71-121``) — identical to the frame index only when
+        every frame finalizes exactly once, in time order.  The CLI pins
+        the index per finalize so artifact names stay aligned with the
+        frame numbers in the error texts even when finalization order is
+        not time order (sequential mesh mode's lane-major steps) or frames
+        are skipped (resume).  ``None`` restores call-order counting."""
+        self._frame_index_override = index
+
     def get_filename_from_prefix(self, prefix: Optional[str] = None,
                                  file_format: str = "png") -> str:
         if not prefix:
@@ -92,7 +105,9 @@ class Visualizer:
             self.default_save_count += 1
         else:
             self.prefixed_save_count[prefix] = (
-                self.prefixed_save_count.get(prefix, -1) + 1)
+                self.prefixed_save_count.get(prefix, -1) + 1
+                if self._frame_index_override is None
+                else self._frame_index_override)
             name = f"{prefix}{self.prefixed_save_count[prefix]}.{file_format}"
         return os.path.join(self.save_dir, name)
 

@@ -662,3 +662,40 @@ def test_mesh_sequential_rejects_incompatible_config(tiny_config, tmp_path):
              "resume")
     run_with({"solver": {"warm_start": True}, "top": {"pipeline": True}},
              "pipeline")
+
+
+def test_resume_recomputes_artifacts_under_frame_number(tiny_config, tmp_path):
+    """A partially-resumed run re-finalizes only the missing frames; their
+    artifacts must land under the frame's own number (the visualizer pin),
+    not under a fresh call-order counter that would overwrite frame 0."""
+    import json
+
+    cfg_path, out_dir = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["resume"] = True
+    p = tmp_path / "res.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["--config_file", str(p), "--eval",
+                     "--log", "warning"]) == 0
+
+    manifest = os.path.join(out_dir, "frame_results.json")
+    entries = json.load(open(manifest))
+    assert len(entries) >= 3
+    flow0_before = np.load(os.path.join(out_dir, "pred_flow0.npy"))
+    # drop frame 2 from the manifest: the rerun must recompute exactly it
+    victim = sorted(entries, key=lambda e: int(e["frame"]))[2]["frame"] \
+        if isinstance(entries, list) else 2
+    if isinstance(entries, list):
+        entries = [e for e in entries if int(e["frame"]) != int(victim)]
+    else:
+        entries.pop(str(victim), None) or entries.pop(int(victim), None)
+    json.dump(entries, open(manifest, "w"))
+    os.remove(os.path.join(out_dir, f"pred_flow{victim}.npy"))
+
+    assert cli.main(["--config_file", str(p), "--eval",
+                     "--log", "warning"]) == 0
+    # the victim's artifact came back under its own frame number...
+    assert os.path.exists(os.path.join(out_dir, f"pred_flow{victim}.npy"))
+    # ...and frame 0's artifact was not clobbered by a call-order counter
+    np.testing.assert_array_equal(
+        flow0_before, np.load(os.path.join(out_dir, "pred_flow0.npy")))

@@ -195,3 +195,18 @@ def test_visualize_event_empty_window(tmp_path):
     assert (tmp_path / "empty0.png").exists()
     viz.visualize_event(np.zeros((0, 4)), grayscale=False, file_prefix="emptyc")
     assert (tmp_path / "emptyc0.png").exists()
+
+
+def test_frame_index_pinning(tmp_path):
+    """set_frame_index pins prefixed artifact names to an explicit frame
+    number (finalize order != time order in sequential mesh mode; resumed
+    runs skip frames)."""
+    from event_based_bos_tpu.visualizer import Visualizer
+
+    viz = Visualizer((8, 8), show=False, save=True, save_dir=str(tmp_path))
+    viz.set_frame_index(7)
+    assert viz.get_filename_from_prefix("pred_flow").endswith("pred_flow7.png")
+    viz.set_frame_index(2)
+    assert viz.get_filename_from_prefix("pred_flow").endswith("pred_flow2.png")
+    viz.set_frame_index(None)  # back to call-order counting
+    assert viz.get_filename_from_prefix("pred_flow").endswith("pred_flow3.png")
