@@ -699,3 +699,29 @@ def test_resume_recomputes_artifacts_under_frame_number(tiny_config, tmp_path):
     # ...and frame 0's artifact was not clobbered by a call-order counter
     np.testing.assert_array_equal(
         flow0_before, np.load(os.path.join(out_dir, "pred_flow0.npy")))
+
+
+def test_mesh_sequential_serving_wire_compose(tiny_config, tmp_path):
+    """The production features compose: sequential mesh segments + serving
+    mode (no visuals) + quantized wire + steady schedule."""
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["solver"]["warm_start"] = True
+    cfg["solver"]["steady_n_iter"] = 10
+    cfg["solver"]["quantized_upload"] = "round"
+    cfg["solver"]["flow_fetch_dtype"] = "float16"
+    cfg["mesh"] = {"data": 2, "event": 4, "sequential": True}
+    cfg["visualize"] = False
+    out_dir = str(tmp_path / "out_compose")
+    cfg["output_dir"] = out_dir
+    p = tmp_path / "compose.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["--config_file", str(p), "--eval",
+                     "--log", "warning"]) == 0
+    flows = [f for f in os.listdir(out_dir)
+             if f.startswith("pred_flow") and f.endswith(".npy")]
+    assert len(flows) >= 3
+    assert not [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    for f in flows:
+        arr = np.load(os.path.join(out_dir, f))
+        assert arr.dtype == np.float32 and np.isfinite(arr).all()
