@@ -207,22 +207,42 @@ def evaluate_per_frames(config, loader, solv, viz):
     estimator = frame_flow.FrameFlowEstimator(viz, convention=convention)
 
     prewarm = config.get("prewarm")
-    if prewarm and not mesh_cfg:
+    if prewarm:
         # Dispatch a throwaway solve NOW so the backend's heavy-tailed
         # first-execution stall (server-side, cache-independent —
         # docs/performance.md §cold start) overlaps the host-side frame IO /
         # GT / windowing below instead of serializing after it.  The event
         # capacity is a hint: ``prewarm: true`` derives it from
         # ``n_events_per_batch``; an integer value pins it explicitly.  A
-        # wrong hint only wastes the one dummy compile.
+        # wrong hint only wastes the one dummy compile.  Fixed RNG keys —
+        # the real frames' key stream (and outputs) are unchanged.
         cap_hint = prewarm if not isinstance(prewarm, bool) else n_events
-        if cap_hint:
-            from .types import bucket_capacity
-
-            solv.prewarm(bucket_capacity(int(cap_hint)))
-        else:
+        if not cap_hint:
             logger.warning("prewarm: true needs n_events_per_batch (or an "
                            "integer prewarm capacity) — skipped.")
+        else:
+            from .types import bucket_capacity
+
+            cap = bucket_capacity(int(cap_hint))
+            if mesh_cfg:
+                import numpy as _np
+
+                from .parallel import stack_events
+                from .types import events_from_ndarray
+
+                # mesh steps take [B, N] events / [B, H, W] frames; the
+                # sequential mode's step 0 is the cold program with
+                # mesh_B lanes, the multistart step takes B = 1
+                ev1 = events_from_ndarray(_np.zeros((0, 4), _np.float32),
+                                          capacity=cap)
+                ev_b = stack_events([ev1] * mesh_B)
+                frames = jnp.zeros((mesh_B,) + tuple(solv.orig_image_shape),
+                                   solv.dtype)
+                keys = jnp.stack([jax.random.PRNGKey(0)] * mesh_B)
+                step0 = seq_steps[0] if mesh_sequential else batched_step
+                _prewarm_out = step0(ev_b, frames, solv._mask, keys)
+            else:
+                solv.prewarm(cap)
 
     im0, _ = loader.load_image(0)
     _frame0 = validate_image(im0, common)

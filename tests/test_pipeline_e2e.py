@@ -725,3 +725,33 @@ def test_mesh_sequential_serving_wire_compose(tiny_config, tmp_path):
     for f in flows:
         arr = np.load(os.path.join(out_dir, f))
         assert arr.dtype == np.float32 and np.isfinite(arr).all()
+
+
+@pytest.mark.parametrize("sequential", [False, True])
+def test_prewarm_mesh_modes_keep_outputs_identical(tiny_config, tmp_path,
+                                                   sequential):
+    """prewarm also covers the mesh steps (batched / sequential-cold) with
+    fixed keys — outputs bit-identical."""
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["data"]["n_events_per_batch"] = 6000
+    cfg["mesh"] = {"data": 2, "event": 4, "sequential": sequential}
+    if sequential:
+        cfg["solver"]["warm_start"] = True
+    outs = {}
+    for mode in ("plain", "prewarm"):
+        c = yaml.safe_load(yaml.safe_dump(cfg))
+        c["prewarm"] = mode == "prewarm"
+        c["output_dir"] = str(tmp_path / f"o_{sequential}_{mode}")
+        p = tmp_path / f"{sequential}_{mode}.yaml"
+        p.write_text(yaml.safe_dump(c))
+        assert cli.main(["--config_file", str(p), "--eval",
+                         "--log", "warning"]) == 0
+        outs[mode] = c["output_dir"]
+    flows = sorted(f for f in os.listdir(outs["plain"])
+                   if f.startswith("pred_flow") and f.endswith(".npy"))
+    assert flows
+    for f in flows:
+        np.testing.assert_array_equal(
+            np.load(os.path.join(outs["plain"], f)),
+            np.load(os.path.join(outs["prewarm"], f)))
