@@ -189,7 +189,35 @@ def accuracy_epe(flow, gt_flow):
     return float(np.mean(np.linalg.norm(pred - gt, axis=0)))
 
 
+def _tpu_reachable(timeout_s: float = 150.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a timeout.
+
+    When the remote (axon) TPU tunnel is down, ``jax.devices()`` hangs
+    indefinitely inside the backend lock — in-process probing would wedge
+    this process too.  A subprocess probe is killable; on failure the
+    bench reports an explicit error line instead of hanging the driver.
+    """
+    import subprocess
+
+    try:
+        return subprocess.run(
+            [sys.executable, "-c",
+             "import jax, os; jax.devices(); os._exit(0)"],
+            timeout=timeout_s, capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _tpu_reachable():
+        print("TPU backend unreachable (tunnel down?) — not benchmarking "
+              "on CPU; metric integrity over availability.", file=sys.stderr)
+        print(json.dumps({
+            "metric": "hot_plate1-scale per-frame pyramid flow solve (720x1280, 600 iters)",
+            "value": -1, "unit": "ms/frame", "vs_baseline": None,
+            "error": "tpu backend unavailable at bench time",
+        }))
+        return
     events, frame, gt_flow = make_workload()
     tpu_s, flow = measure_tpu(events, frame)
     epe = accuracy_epe(flow, gt_flow)
