@@ -755,3 +755,24 @@ def test_prewarm_mesh_modes_keep_outputs_identical(tiny_config, tmp_path,
         np.testing.assert_array_equal(
             np.load(os.path.join(outs["plain"], f)),
             np.load(os.path.join(outs["prewarm"], f)))
+
+
+def test_mesh_sequential_fewer_frames_than_lanes(tiny_config, tmp_path):
+    """A frame range shorter than the lane count leaves some segments empty
+    — the lockstep loop must still produce every real frame."""
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["evaluation"]["time_list"] = [[0.03, 0.13]]  # ~1-2 frames
+    cfg["solver"]["warm_start"] = True
+    cfg["mesh"] = {"data": 2, "event": 4, "sequential": True}
+    out_dir = str(tmp_path / "out_short")
+    cfg["output_dir"] = out_dir
+    p = tmp_path / "short.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert cli.main(["--config_file", str(p), "--eval",
+                     "--log", "warning"]) == 0
+    flows = [f for f in os.listdir(out_dir)
+             if f.startswith("pred_flow") and f.endswith(".npy")]
+    rows = sum(1 for _ in open(
+        os.path.join(out_dir, "timestamps_per_frame.txt")))
+    assert flows and len(flows) == rows
