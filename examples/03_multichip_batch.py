@@ -80,6 +80,25 @@ def main():
     print("final finest-scale losses per frame:",
           np.round(np.asarray(loss_hist[-1])[:, -1], 4))
 
+    # --- sequential mesh mode: scale the WARM-START chain instead ---
+    # D contiguous frame segments advance in lockstep; each data lane warm
+    # starts from its own previous frame, with the feedback params carried
+    # on device (cli: mesh: {data: D, event: E, sequential: true}).
+    import dataclasses
+
+    from event_based_bos_tpu.parallel import make_multichip_sequential
+
+    d = mesh.shape["data"]
+    mask = jnp.asarray(roi_mask(spec))
+    step_cold, step_warm = make_multichip_sequential(
+        spec, mesh, steady_spec=dataclasses.replace(spec, n_iter=30))
+    ev_d = Events(*(f[:d] for f in ev_b))
+    fl, prev, _ = step_cold(ev_d, frames_b[:d], mask, keys[:d])
+    fl, prev, _ = step_warm(ev_d, frames_b[:d], mask, keys[:d], prev,
+                            jnp.ones((d,), bool))
+    print("sequential lockstep (cold 60 iters -> warm 30):",
+          fl.shape, "finite:", bool(jnp.isfinite(fl).all()))
+
 
 if __name__ == "__main__":
     main()
