@@ -139,9 +139,11 @@ def evaluate_per_frames(config, loader, solv, viz):
                                  "mesh mode (a skipped frame would leave "
                                  "its lane's warm chain undefined)")
             if pipeline:
-                raise ValueError("pipeline: true is not supported in "
-                                 "sequential mesh mode (the segmented loop "
-                                 "schedules its own steps)")
+                # the segmented loop always runs its own one-step-deep
+                # pipeline (produce step t+1 while step t solves on device)
+                logger.info("pipeline: true is implicit in sequential mesh "
+                            "mode — the segmented loop overlaps host prep "
+                            "with the in-flight device step.")
         gml_cfg = config["solver"].get("generative_ml", {})
         if gml_cfg.get("model_image", "current") != "current":
             raise ValueError("mesh mode supports model_image: current")
@@ -234,7 +236,7 @@ def evaluate_per_frames(config, loader, solv, viz):
                 # sequential mode's step 0 is the cold program with
                 # mesh_B lanes, the multistart step takes B = 1
                 ev1 = events_from_ndarray(_np.zeros((0, 4), _np.float32),
-                                          capacity=cap)
+                                          capacity=cap, dtype=solv.dtype)
                 ev_b = stack_events([ev1] * mesh_B)
                 frames = jnp.zeros((mesh_B,) + tuple(solv.orig_image_shape),
                                    solv.dtype)
@@ -395,13 +397,33 @@ def evaluate_per_frames(config, loader, solv, viz):
             store.record(i_frame, flow=estimation, t1=float(t1),
                          t2=float(t2), **err_nomask)
 
+    def _lane_handle(flow_j, hist_j):
+        """Single-lane finalize handle shared by both mesh loops
+        (:func:`flush_batch` and :func:`run_segmented`): renders the
+        per-scale loss curves and returns the float32, orientation-fixed
+        flow — the same contract as the single-chip finalize."""
+        from .solver.api import EstimationHandle
+
+        def _fin():
+            if solv.visualizer is not None:
+                # same artifact as the single-chip loop: one curve per
+                # pyramid scale
+                solv.visualizer.visualize_scipy_history(
+                    {f"scale{i}": np.asarray(h)
+                     for i, h in enumerate(hist_j)})
+            solv.iter_cnt += 1
+            # float32 regardless of the (possibly reduced-precision) fetch
+            # dtype — same contract as the single-chip finalize
+            return solv._orient_flow(np.asarray(flow_j, dtype=np.float32))
+
+        return EstimationHandle(_fin)
+
     def flush_batch(pending):
         """Solve ``pending`` = [(i_frame, work)] in ONE data-parallel step
         across the mesh, then finalize each frame in order."""
         import jax.numpy as jnp
 
         from .parallel import stack_events
-        from .solver.api import EstimationHandle
         from .types import pad_events
 
         with _section("estimate"):
@@ -421,22 +443,8 @@ def evaluate_per_frames(config, loader, solv, viz):
                                          jnp.stack(keys))
 
         for j, (fi, w) in enumerate(pending):
-            flow_j = flows[j]
-            hist_j = [h[j] for h in losses]  # per-scale, like single-chip
-
-            def _fin(flow_j=flow_j, hist_j=hist_j):
-                if solv.visualizer is not None:
-                    # same artifact as the single-chip loop: one curve per
-                    # pyramid scale
-                    solv.visualizer.visualize_scipy_history(
-                        {f"scale{i}": np.asarray(h)
-                         for i, h in enumerate(hist_j)})
-                solv.iter_cnt += 1
-                # float32 regardless of the (possibly reduced-precision)
-                # fetch dtype — same contract as the single-chip finalize
-                return solv._orient_flow(np.asarray(flow_j, dtype=np.float32))
-
-            finalize(w, EstimationHandle(_fin), fi)
+            # per-scale histories, like single-chip
+            finalize(w, _lane_handle(flows[j], [h[j] for h in losses]), fi)
 
     def run_segmented(indices):
         """Sequential mesh mode: split ``indices`` into ``mesh_B`` contiguous
@@ -456,7 +464,6 @@ def evaluate_per_frames(config, loader, solv, viz):
         import jax.numpy as jnp
 
         from .parallel import stack_events
-        from .solver.api import EstimationHandle
         from .types import pad_events
 
         step_cold, step_warm = seq_steps
@@ -467,8 +474,9 @@ def evaluate_per_frames(config, loader, solv, viz):
         _next_frame[0] = base + len(idx)
         bounds = [round(d * len(idx) / mesh_B) for d in range(mesh_B + 1)]
         segments = [idx[bounds[d]:bounds[d + 1]] for d in range(mesh_B)]
-        prev = None
-        for t in range(max(len(s) for s in segments)):
+        n_steps = max(len(s) for s in segments)
+
+        def _produce_step(t):
             lane_items = []  # (fi, work-or-None) per lane
             for d in range(mesh_B):
                 if t < len(segments[d]):
@@ -477,44 +485,50 @@ def evaluate_per_frames(config, loader, solv, viz):
                     lane_items.append((fi, work if tag == "work" else None))
                 else:
                     lane_items.append((None, None))  # exhausted lane
+            return lane_items
+
+        # One-step-deep software pipeline, like the single-chip loop: the
+        # solve of step t is DISPATCHED (async) before step t+1's host prep
+        # (frame IO + Farnebäck GT + windowing) runs, and only then does
+        # step t's finalize block on the flow fetch — so host prep overlaps
+        # the in-flight device solve.  Outputs are bit-identical to the
+        # strictly serial order (the key stream and finalize order are
+        # unchanged).
+        prev = None
+        lane_items = _produce_step(0)
+        for t in range(n_steps):
+            dispatched = None
             dummy = next((w for _, w in lane_items if w is not None), None)
-            if dummy is None:  # a whole step of collapsed/exhausted lanes
-                continue
-            with _section("estimate"):
-                cap = max(w["filtered"].capacity
-                          for _, w in lane_items if w is not None)
-                evs, frames_l, keys = [], [], []
-                for _, w in lane_items:
-                    src = w if w is not None else dummy
-                    evs.append(pad_events(src["filtered"], cap))
-                    frames_l.append(jnp.asarray(src["im1"], solv.dtype))
-                    keys.append(solv._next_key())
-                ev_b = stack_events(evs)
-                frames = jnp.stack(frames_l)
-                valid = jnp.asarray([w is not None for _, w in lane_items])
-                if prev is None:
-                    flows, prev, losses = step_cold(ev_b, frames, solv._mask,
-                                                    jnp.stack(keys))
-                else:
-                    flows, prev, losses = step_warm(ev_b, frames, solv._mask,
-                                                    jnp.stack(keys), prev,
-                                                    valid)
-            for j, (fi, w) in enumerate(lane_items):
-                if w is None:
-                    continue
-                flow_j = flows[j]
-                hist_j = [h[j] for h in losses]
-
-                def _fin(flow_j=flow_j, hist_j=hist_j):
-                    if solv.visualizer is not None:
-                        solv.visualizer.visualize_scipy_history(
-                            {f"scale{i}": np.asarray(h)
-                             for i, h in enumerate(hist_j)})
-                    solv.iter_cnt += 1
-                    return solv._orient_flow(
-                        np.asarray(flow_j, dtype=np.float32))
-
-                finalize(w, EstimationHandle(_fin), fi)
+            if dummy is not None:  # else: whole step collapsed/exhausted
+                with _section("estimate"):
+                    cap = max(w["filtered"].capacity
+                              for _, w in lane_items if w is not None)
+                    evs, frames_l, keys = [], [], []
+                    for _, w in lane_items:
+                        src = w if w is not None else dummy
+                        evs.append(pad_events(src["filtered"], cap))
+                        frames_l.append(jnp.asarray(src["im1"], solv.dtype))
+                        keys.append(solv._next_key())
+                    ev_b = stack_events(evs)
+                    frames = jnp.stack(frames_l)
+                    valid = jnp.asarray(
+                        [w is not None for _, w in lane_items])
+                    if prev is None:
+                        flows, prev, losses = step_cold(
+                            ev_b, frames, solv._mask, jnp.stack(keys))
+                    else:
+                        flows, prev, losses = step_warm(
+                            ev_b, frames, solv._mask, jnp.stack(keys), prev,
+                            valid)
+                dispatched = (lane_items, flows, losses)
+            lane_items = _produce_step(t + 1) if t + 1 < n_steps else None
+            if dispatched is not None:
+                items, flows, losses = dispatched
+                for j, (fi, w) in enumerate(items):
+                    if w is None:
+                        continue
+                    finalize(w, _lane_handle(flows[j],
+                                             [h[j] for h in losses]), fi)
 
     for t_start, t_end in eval_config["time_list"]:
         ind_start = loader.time_to_image_index(t_start) + 1

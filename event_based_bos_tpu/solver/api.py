@@ -298,7 +298,19 @@ class SolverBase:
             return events
         arr = np.asarray(events)
         cap = _bucket_capacity(len(arr))
-        if self.wire_quantized:
+        use_wire = self.wire_quantized
+        if use_wire and self.dtype != jnp.float32 and self.wire_mode == "exact":
+            # the exact wire contract is bitwise equality at float32; a
+            # float64 direct upload carries precision the wire cannot, so
+            # honor precision: "64" over the compact upload
+            if not self._wire_fell_back:
+                self._wire_fell_back = True
+                logger.warning(
+                    "quantized_upload (exact) is defined at float32; this "
+                    "solver runs %s — using direct uploads ('round' mode "
+                    "would keep the compact wire).", np.dtype(self.dtype))
+            use_wire = False
+        if use_wire:
             from ..types import decode_wire_events, encode_wire_events
 
             wire = encode_wire_events(arr, cap, include_t=need_t,
@@ -806,6 +818,17 @@ class PatchEkltPyramid2(SolverBase):
                                                int(opt.get("n_iter", 600))),
             n_restarts=int(self.slv_config.get("n_restarts", 1)),
         )
+        if self.spec.restrict_to_roi and self.spec.roi_margin < 2:
+            # the exact-ROI cost algebra (solve_pyramid) requires every
+            # nonzero |∇(flow·mask)| / TV / charbonnier summand to live
+            # inside the margin-expanded box — the mask ridge plus one
+            # difference stencil needs margin >= 2, below which the solve
+            # silently optimizes a different objective
+            raise ValueError(
+                "restrict_to_roi requires roi_margin >= 2 (got "
+                f"{self.spec.roi_margin}): the full-frame cost equivalence "
+                "needs the ROI mask ridge and its difference stencil inside "
+                "the cropped box.")
         if self.spec.n_restarts > 1 and self.slv_config.get("warm_start"):
             # warm starts pin every restart to the same init — R× the cost
             # for the single-start result (see estimate_frame)
@@ -873,8 +896,10 @@ class PatchEkltPyramid2(SolverBase):
         first real frame.  Uses a fixed RNG key so the solver's key stream
         (and therefore every real frame's output) is unchanged."""
         fn = self._solver_fn(capacity)
+        # dtype must match the real frames' uploads (self.dtype — e.g.
+        # precision: "64") or the prewarmed program is never reused
         ev = events_from_ndarray(np.zeros((0, 4), np.float32),
-                                 capacity=capacity)
+                                 capacity=capacity, dtype=self.dtype)
         frame = jnp.zeros(self.orig_image_shape, self.dtype)
         self._prewarm_out = fn(ev, frame, self._mask, jax.random.PRNGKey(0),
                                prev_params=None)

@@ -202,9 +202,19 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     if (xq.min() < 0 or yq.min() < 0
             or xq.max() >= 65536 or yq.max() >= 65536):
         return None
-    if mode == "exact" and (np.max(np.abs(xs - xq)) > 1e-3
-                            or np.max(np.abs(ys - yq)) > 1e-3):
-        return None
+    if mode == "exact":
+        # The contract is bit-exactness of the decoded float32 Events vs the
+        # direct float32 upload, so verify by actual round-trip equality
+        # (decode computes q · 2⁻⁵ — exact for integer q < 2¹⁶ — so the
+        # host-side reconstruction below matches the device decode bitwise).
+        # A tolerance on |xs − xq| would silently quantize values within the
+        # tolerance but more than 1 f32 ulp off the grid.
+        if not np.array_equal((xq / WIRE_SUBPIXEL).astype(np.float32),
+                              ev[:, 0].astype(np.float32)):
+            return None
+        if not np.array_equal((yq / WIRE_SUBPIXEL).astype(np.float32),
+                              ev[:, 1].astype(np.float32)):
+            return None
     # Polarity ships raw (not sign-collapsed): CCS HDF5 streams carry 0/1,
     # synthetic/EVT3 carry ±1 — the decode must reproduce whatever the direct
     # float32 upload would have held (voxel ops read p's *value*, not just
@@ -213,7 +223,8 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     pq = np.rint(ps)
     if pq.min() < -128 or pq.max() > 127:
         return None
-    if mode == "exact" and np.max(np.abs(ps - pq)) > 1e-3:
+    if mode == "exact" and not np.array_equal(
+            pq.astype(np.float32), ps.astype(np.float32)):
         return None
     out = {"x_q": np.zeros(capacity, np.uint16),
            "y_q": np.zeros(capacity, np.uint16),
@@ -233,7 +244,13 @@ def encode_wire_events(events: np.ndarray, capacity: int,
         # rounded; "round" mode snaps them (≤ 0.5 µs error)
         if tus.max() >= 2**31:
             return None
-        if mode == "exact" and np.max(np.abs(rel - tus)) > 1e-2:
+        # 1e-4 µs: safely above the f64 rounding noise of (t − t0)·1e6 on a
+        # µs-integer stream (~5e-7 µs at 2³¹ µs windows) and far below any
+        # genuinely off-grid timestamp; the decoded t is then within ~2 f32
+        # ulps of the direct upload (decode docstring) — t is the one field
+        # whose "exact" contract is grid membership, not bitwise equality,
+        # because its decode involves a non-power-of-two multiply.
+        if mode == "exact" and np.max(np.abs(rel - tus)) > 1e-4:
             return None
         out["t_us"] = np.zeros(capacity, np.int32)
         out["t_us"][:n] = tus.astype(np.int32)

@@ -660,8 +660,9 @@ def test_mesh_sequential_rejects_incompatible_config(tiny_config, tmp_path):
     run_with({}, "warm_start")  # sequential needs the warm chain
     run_with({"solver": {"warm_start": True}, "top": {"resume": True}},
              "resume")
-    run_with({"solver": {"warm_start": True}, "top": {"pipeline": True}},
-             "pipeline")
+    # ``pipeline: true`` is NOT rejected: the segmented loop runs its own
+    # one-step-deep pipeline (produce step t+1 while step t solves), so the
+    # flag is accepted as implicit (covered by the composition e2e test)
 
 
 def test_resume_recomputes_artifacts_under_frame_number(tiny_config, tmp_path):

@@ -567,3 +567,33 @@ def test_steady_n_iter_validation(scene):
     cfg["steady_n_iter"] = 0
     with pytest.raises(ValueError, match="steady_n_iter"):
         collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+
+
+def test_restrict_to_roi_rejects_small_margin():
+    """The exact-ROI cost equivalence needs the mask ridge and its
+    difference stencil inside the cropped box (margin >= 2); a smaller
+    margin must fail loudly instead of silently optimizing a different
+    objective."""
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["restrict_to_roi"] = True
+    cfg["roi_margin"] = 1
+    with pytest.raises(ValueError, match="roi_margin"):
+        collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+
+
+def test_prewarm_traces_the_real_programs_dtype(scene):
+    """Regression: prewarm must build its dummy events with the solver's
+    compute dtype (``precision: "64"``) — an f32-traced prewarm program
+    would never be reused by the f64 real frames, re-paying the compile +
+    first-execution stall the feature exists to hide."""
+    from event_based_bos_tpu.types import bucket_capacity
+
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["precision"] = "64"
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    cap = bucket_capacity(len(events))
+    solv.prewarm(cap)
+    solv.estimate(events, None, frame=I1, background=I1)
+    # one jit entry total: the real frame hit the prewarmed executable
+    assert solv._jitted[(cap, False)]._cache_size() == 1

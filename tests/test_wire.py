@@ -368,3 +368,66 @@ def test_pyramid_facade_f16_fetch_close():
     assert f_h.dtype == np.float32
     scale = np.maximum(np.abs(f_ref), 1e-3)
     assert (np.abs(f_h - f_ref) / scale).max() < 1.5e-3
+
+
+class TestWireExactIsRoundTrip:
+    """``mode="exact"`` accepts a batch iff the decode reproduces the direct
+    float32 upload bitwise (coords/p; t on the µs grid) — regression tests
+    for the old absolute tolerances, which silently quantized values a few
+    f32 ulps off the grid instead of falling back."""
+
+    def test_coord_one_ulp_off_grid_falls_back(self):
+        arr = _batch()
+        # 1 f32 ulp above 100.0: |x·32 − rint(x·32)| ≈ 2.4e-4, inside the old
+        # 1e-3 tolerance but NOT equal to 100.0 after the wire round-trip
+        arr[7, 0] = float(np.nextafter(np.float32(100.0), np.float32(200.0)))
+        assert encode_wire_events(arr, 8192) is None
+        # snapping is exactly what 'round' mode is for
+        assert encode_wire_events(arr, 8192, mode="round") is not None
+
+    def test_time_just_off_grid_falls_back(self):
+        arr = _batch()
+        arr[5, 2] += 1e-3 * 1e-6  # 1e-3 µs off grid (inside the old 1e-2 tol)
+        assert encode_wire_events(arr, 8192) is None
+        assert encode_wire_events(arr, 8192, mode="round") is not None
+
+    def test_near_integer_polarity_falls_back(self):
+        arr = _batch()
+        arr[2, 3] = 1.0001  # inside the old 1e-3 tolerance… barely not
+        arr[3, 3] = 1.0009
+        assert encode_wire_events(arr, 8192) is None
+        assert encode_wire_events(arr, 8192, mode="round") is not None
+
+
+def test_exact_wire_disabled_under_precision_64():
+    """precision: "64" events carry precision the f32-grid wire cannot; the
+    exact mode's contract is bitwise equality, so the facade must use direct
+    float64 uploads instead (the 'round' mode keeps the compact wire — its
+    contract is documented snapping, not bitwise equality)."""
+    from event_based_bos_tpu.solver import collections
+
+    cfg = {"method": "patch_eklt_pyramid2", "outer_padding": 0,
+           "quantized_upload": True, "precision": "64",
+           "cost_with_weight": {"diff_norm": 1.0},
+           "optimizer": {"method": "Adam", "n_iter": 8},
+           "generative_ml": {"weight_loss_by_event_hist": False,
+                             "weight_sigma": 5,
+                             "weight_loss_by_inverse_event_hist": False,
+                             "optimize_warp": False, "iwe_sigma": 2,
+                             "viz_diff_scale": [-0.25, 0.25],
+                             "no_polarity": False, "model_image": "current",
+                             "use_log_intensity": False,
+                             "poisson_model": True},
+           "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                          "do_event_thresholding": False, "event_thres": 8,
+                          "coarsest_patch_size": 16, "finest_patch_size": 8}}
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    ev = solv._to_events(_batch())
+    assert np.asarray(ev.x).dtype == np.float64
+    assert solv._wire_fell_back  # warned once, then direct uploads
+
+    rcfg = dict(cfg, quantized_upload="round")
+    r = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, rcfg, None)
+    ev_r = r._to_events(_batch())
+    assert not r._wire_fell_back
+    assert np.asarray(ev_r.x).dtype == np.float64  # decoded at solver dtype

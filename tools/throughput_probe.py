@@ -78,7 +78,7 @@ def build_config(out_dir: str, n_frames: int, small: bool) -> dict:
 
 def run_once(pipeline: bool, n_frames: int, small: bool,
              serve: bool = False, wire: bool = False,
-             fast: bool = False) -> dict:
+             fast: bool = False, seq_mesh: bool = False) -> dict:
     import yaml
 
     from event_based_bos_tpu import cli
@@ -86,6 +86,11 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
     out = tempfile.mkdtemp(prefix=f"thr_{'pipe' if pipeline else 'sync'}_")
     cfg = build_config(os.path.join(out, "run"), n_frames, small)
     cfg["pipeline"] = pipeline
+    if seq_mesh:
+        # single-chip sequential mesh: the segmented loop's built-in
+        # one-step pipeline (produce t+1 ‖ device step t) on one lane
+        cfg["mesh"] = {"data": 1, "event": 1, "sequential": True}
+        cfg["solver"]["warm_start"] = True
     if serve:
         cfg["visualize"] = False
     if wire:
@@ -145,6 +150,16 @@ def main():
             "serving_fast_s_per_frame": round(serve_f["s_per_frame"], 3),
             "serving_fast_steady": round(serve_f["steady_s_per_frame"], 3),
             "frames": serve_f["frames"]}))
+        sys.stdout.flush()
+        os._exit(0)
+    if "--seq-mesh-only" in sys.argv:
+        # sequential-mesh serving on one lane: measures the segmented
+        # loop's built-in produce‖solve overlap at the full scale
+        seq = run_once(False, n_frames, small, serve=True, seq_mesh=True)
+        print(json.dumps({
+            "seq_mesh_s_per_frame": round(seq["s_per_frame"], 3),
+            "seq_mesh_steady": round(seq["steady_s_per_frame"], 3),
+            "frames": seq["frames"]}))
         sys.stdout.flush()
         os._exit(0)
     run_once(False, 2, small)
