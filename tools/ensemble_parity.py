@@ -42,6 +42,24 @@ SCENE_SEEDS = tuple(int(s) for s in os.environ.get(
 INIT_SEEDS = tuple(int(s) for s in os.environ.get(
     "EBT_ENSEMBLE_INITS", "2,3").split(","))
 
+# Scene-family variants: the base ensemble samples one generator config
+# (bench physics) over seeds; these stress physically different regimes so
+# the equivalence claim is not specific to one plume.  Selected with
+# EBT_ENSEMBLE_VARIANT=<name>; keys become "<name>-scene<S>_init<I>".
+VARIANTS = {
+    "": {},
+    # small-signal regime: gentle distortions, slow plume
+    "slow": {"max_displacement": 1.5, "plume_speed": 300.0},
+    # large-warp regime: peak displacement 2x the bench scene
+    "strong": {"max_displacement": 6.0},
+    # sparse data: 4x fewer events -> noisier measured increment
+    "sparse": {"events_per_frame": (1 << 17)},
+}
+VARIANT = os.environ.get("EBT_ENSEMBLE_VARIANT", "")
+if VARIANT not in VARIANTS:
+    raise SystemExit(f"unknown EBT_ENSEMBLE_VARIANT {VARIANT!r} "
+                     f"(choose from {sorted(VARIANTS)})")
+
 
 def _epe(flow, gt):
     crop = (slice(None), slice(ROI[0], ROI[1]), slice(ROI[2], ROI[3]))
@@ -77,8 +95,18 @@ def summarize(state):
     t_w, p_w = stats.ttest_ind(mine, ref, equal_var=False)
     u, p_u = stats.mannwhitneyu(mine, ref, alternative="two-sided")
     t_p, p_p = stats.ttest_rel(mine, ref)
+    by_variant = {}
+    for v in sorted({r.get("variant", "") for r in runs}):
+        sel = [r for r in runs if r.get("variant", "") == v]
+        d = np.array([r["my_epe"] - r["ref_epe"] for r in sel])
+        by_variant[v or "base"] = {
+            "n": len(sel),
+            "paired_diff_mean": float(d.mean()),
+            "paired_diff_std": float(d.std(ddof=1)) if len(sel) > 1 else None,
+        }
     summary = {
         "n_runs": len(runs),
+        "by_variant": by_variant,
         "ref_epe_mean": float(ref.mean()), "ref_epe_std": float(ref.std(ddof=1)),
         "my_epe_mean": float(mine.mean()), "my_epe_std": float(mine.std(ddof=1)),
         "paired_diff_mean": float(diff.mean()),
@@ -99,12 +127,17 @@ def main():
     for scene_seed in SCENE_SEEDS:
         for init_seed in INIT_SEEDS:
             key = f"scene{scene_seed}_init{init_seed}"
+            if VARIANT:
+                key = f"{VARIANT}-{key}"
             run = state["runs"].setdefault(key, {
                 "scene_seed": scene_seed, "init_seed": init_seed})
+            if VARIANT:
+                run["variant"] = VARIANT
             if "ref_epe" in run and "my_epe" in run:
                 continue
             print(f"=== {key} ===", flush=True)
-            events, frame, gt_flow = make_scene(seed=scene_seed)
+            events, frame, gt_flow = make_scene(seed=scene_seed,
+                                                **VARIANTS[VARIANT])
             prev = pinned_init(seed=init_seed)
             if "my_epe" not in run:
                 my_flow, my_dt = run_mine(events, frame, prev)

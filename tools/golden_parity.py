@@ -39,14 +39,18 @@ N_ITER = int(os.environ.get("EBT_PARITY_ITERS", 40))  # default: matched reduced
 GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
 
-def make_scene(seed=0):
+def make_scene(seed=0, **overrides):
+    """Bench-physics scene by default; ``overrides`` are SyntheticBosConfig
+    fields (the ensemble tool's scene-family variants pass e.g. a slower
+    plume or a sparser stream)."""
     from event_based_bos_tpu.data.synthetic import (SyntheticBosConfig,
                                                     generate_sequence)
 
-    cfg = SyntheticBosConfig(height=H, width=W, duration=1.0 / 30.0, fps=30.0,
-                             events_per_frame=(1 << 19) - 1024,
-                             max_displacement=3.0, plume_speed=900.0,
-                             seed=seed)
+    kw = dict(height=H, width=W, duration=1.0 / 30.0, fps=30.0,
+              events_per_frame=(1 << 19) - 1024,
+              max_displacement=3.0, plume_speed=900.0, seed=seed)
+    kw.update(overrides)
+    cfg = SyntheticBosConfig(**kw)
     seq = generate_sequence(cfg)
     return seq["events"], seq["frames"][1], seq["gt_flow"][0]
 
