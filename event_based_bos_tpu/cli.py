@@ -243,6 +243,15 @@ def evaluate_per_frames(config, loader, solv, viz):
                 keys = jnp.stack([jax.random.PRNGKey(0)] * mesh_B)
                 step0 = seq_steps[0] if mesh_sequential else batched_step
                 _prewarm_out = step0(ev_b, frames, solv._mask, keys)
+                if mesh_sequential:
+                    # steps 1+ run the warm program (a different jit trace,
+                    # with the steady spec when configured) — dispatch it
+                    # once too, fed from the cold step's own feedback, so
+                    # its first-execution stall also overlaps the prep
+                    carry_valid = jnp.ones((mesh_B,), bool)
+                    _prewarm_out = seq_steps[1](ev_b, frames, solv._mask,
+                                                keys, _prewarm_out[1],
+                                                carry_valid)
             else:
                 solv.prewarm(cap)
 

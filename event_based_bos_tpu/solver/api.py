@@ -903,6 +903,23 @@ class PatchEkltPyramid2(SolverBase):
         frame = jnp.zeros(self.orig_image_shape, self.dtype)
         self._prewarm_out = fn(ev, frame, self._mask, jax.random.PRNGKey(0),
                                prev_params=None)
+        if self.slv_config.get("warm_start"):
+            # Warm frames execute a DIFFERENT program with its own
+            # first-execution stall: ``prev_params`` None → array is a new
+            # jit trace, and ``steady_n_iter`` additionally swaps the spec.
+            # Prewarm it too, fed from the dummy solve's own feedback (the
+            # same pytree structure real warm frames pass), so the stall
+            # doesn't resurface on frame 1 — exactly where the shortened
+            # steady schedule is supposed to start paying off.
+            from .pyramid import update_coarse_from_fine
+
+            prev = update_coarse_from_fine(
+                self._prewarm_out[1]["params_per_scale"], self.spec)
+            fn_w = self._solver_fn(capacity,
+                                   steady=self.spec_steady is not None)
+            self._prewarm_out_warm = fn_w(ev, frame, self._mask,
+                                          jax.random.PRNGKey(0),
+                                          prev_params=prev)
 
     def estimate_async(self, events, *args, **kwargs) -> EstimationHandle:
         """Dispatch the pyramid solve; all device work (including the

@@ -597,3 +597,31 @@ def test_prewarm_traces_the_real_programs_dtype(scene):
     solv.estimate(events, None, frame=I1, background=I1)
     # one jit entry total: the real frame hit the prewarmed executable
     assert solv._jitted[(cap, False)]._cache_size() == 1
+
+
+@pytest.mark.parametrize("steady", [None, 12])
+def test_prewarm_covers_the_warm_frame_program(scene, steady):
+    """Regression: warm frames execute a different program (prev_params
+    None → array is a new jit trace; ``steady_n_iter`` swaps the spec too).
+    prewarm must dispatch that program as well — otherwise the
+    first-execution stall resurfaces on frame 1, exactly where the warm
+    chain is supposed to start paying off."""
+    from event_based_bos_tpu.types import bucket_capacity
+
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["warm_start"] = True
+    if steady is not None:
+        cfg["steady_n_iter"] = steady
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    cap = bucket_capacity(len(events))
+    solv.prewarm(cap)
+    sizes = {k: fn._cache_size() for k, fn in solv._jitted.items()}
+    if steady is None:
+        assert sizes == {(cap, False): 2}  # cold + warm variant
+    else:
+        assert sizes == {(cap, False): 1, (cap, True): 1}
+    solv.estimate(events, None, frame=I1, background=I1)  # cold frame 0
+    solv.estimate(events, None, frame=I1, background=I1)  # warm frame 1
+    # no new traces: both real frames hit prewarmed executables
+    assert {k: fn._cache_size() for k, fn in solv._jitted.items()} == sizes
