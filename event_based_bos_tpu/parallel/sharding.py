@@ -62,9 +62,12 @@ def make_multichip_multistart(spec: PyramidSpec, mesh: jax.sharding.Mesh,
     """Multi-start pyramid solve with the restarts sharded across chips.
 
     The embarrassingly-parallel case ``docs/performance.md`` promises: on
-    ONE chip, ``n_restarts: R`` costs superlinearly (R=8 ≈ 19× a single
-    solve — the vmapped lanes break the single-solve fusion layout); across
-    the mesh ``data`` axis each chip runs R/D restart lanes.  The IWE votes
+    ONE chip, ``n_restarts: R`` costs ~R× a single solve with sequential
+    ``lax.map`` lanes (19× with batched ``vmap`` lanes — see
+    ``PyramidSpec.restart_mode``); across the mesh ``data`` axis each chip
+    runs R/D restart lanes concurrently instead.  Here the lanes must stay
+    a vmapped batch — the ``data``-axis sharding constraint is what spreads
+    them over devices.  The IWE votes
     are reduced over the ``event`` axis once and replicated; only the PRNG
     keys (and therefore the random poisson-base inits, ``gml:425-450``)
     differ between lanes.  Best-restart selection matches the single-chip

@@ -817,7 +817,12 @@ class PatchEkltPyramid2(SolverBase):
             record_evolution=_evolution_stride(self.slv_config,
                                                int(opt.get("n_iter", 600))),
             n_restarts=int(self.slv_config.get("n_restarts", 1)),
+            restart_mode=str(self.slv_config.get("restart_mode", "map")),
         )
+        if self.spec.restart_mode not in ("map", "vmap"):
+            raise ValueError("restart_mode must be 'map' (sequential lanes, "
+                             "~R× one solve) or 'vmap' (batched lanes), got "
+                             f"{self.spec.restart_mode!r}")
         if self.spec.restrict_to_roi and self.spec.roi_margin < 2:
             # the exact-ROI cost algebra (solve_pyramid) requires every
             # nonzero |∇(flow·mask)| / TV / charbonnier summand to live

@@ -95,11 +95,15 @@ class PyramidSpec:
     # reference cannot afford on CPU.  Measured on the synthetic benchmark
     # scene (720×1280): single-start EPE varies 0.16–0.26 px with the init
     # seed; best-loss selection over 8 restarts lands 0.17–0.22 px
-    # (loss↔EPE correlation is real but loose).  Cost is superlinear in R
-    # on one chip (R=8 ≈ 19× one solve: the vmapped lanes break the
-    # single-solve fusion layout) — prefer spreading restarts across chips
-    # via parallel.sweep when available.
+    # (loss↔EPE correlation is real but loose).  Prefer spreading restarts
+    # across chips via parallel.sweep / the mesh CLI mode when available.
     n_restarts: int = 1
+    # How single-chip restart lanes execute.  "map" (default) runs them
+    # sequentially via ``lax.map`` — each lane keeps the single-solve fusion
+    # layout, so R restarts cost ~R× one solve.  "vmap" batches the lanes;
+    # measured 19× for R=8 at the benchmark scale (batching breaks the
+    # fused VPU layout of the stencil warp), kept only for A/B probing.
+    restart_mode: str = "map"
 
     @property
     def n_scales(self) -> int:
@@ -346,18 +350,30 @@ def estimate_frame(
                              use_log_intensity=gen.use_log_intensity)
     hist, weights, weight_inverse = iwe_cache(ev, gen)
     if spec.n_restarts > 1 and init_params is None and prev_params is None:
-        # Multi-start quality mode: vmap the solve over restart keys, keep
+        # Multi-start quality mode: run the solve over R restart keys, keep
         # the restart whose finest scale reached the lowest loss (the IWE
-        # cache and gradients are computed once and broadcast).  Only the
+        # cache and gradients are computed once and shared).  Only the
         # random cold-start init differs between restarts, so the branch is
         # skipped when a warm start (prev_params) or explicit init pins the
         # trajectory — R identical solves would cost R× for nothing (the
         # facade rejects warm_start+n_restarts configs up front).
+        #
+        # ``restart_mode`` picks the execution strategy: sequential
+        # ``lax.map`` keeps each lane on the single-solve fused layout
+        # (~R× one solve), while ``vmap`` batches the lanes and measures
+        # ~2.4× worse at the benchmark scale (docs/performance.md
+        # §accuracy headroom).
         keys = jax.random.split(key, spec.n_restarts)
-        flows, auxes = jax.vmap(
-            lambda k: solve_pyramid(hist, weights, weight_inverse, gx, gy,
-                                    mask, k, spec, lr=lr)
-        )(keys)
+        lane = lambda k: solve_pyramid(hist, weights, weight_inverse,  # noqa: E731
+                                       gx, gy, mask, k, spec, lr=lr)
+        if spec.restart_mode == "vmap":
+            flows, auxes = jax.vmap(lane)(keys)
+        elif spec.restart_mode == "map":
+            flows, auxes = jax.lax.map(lane, keys)
+        else:
+            raise ValueError(
+                f"restart_mode must be 'map' or 'vmap', got "
+                f"{spec.restart_mode!r}")
         final_hist = auxes["loss_history"][-1]  # [R, n_iter of finest scale]
         # selection metric must match what each restart *returns*: the
         # best-loss iterate under track_best, the final iterate otherwise

@@ -403,10 +403,13 @@ def test_restrict_to_roi_tv_charbonnier_match_full_frame(scene):
     assert corr > 0.95, corr
 
 
-def test_multistart_selects_best_loss_restart(scene):
-    """``n_restarts: R`` vmaps the pyramid solve over R random inits and
+@pytest.mark.parametrize("restart_mode", ["map", "vmap"])
+def test_multistart_selects_best_loss_restart(scene, restart_mode):
+    """``n_restarts: R`` runs the pyramid solve over R random inits and
     returns the restart with the lowest finest-scale loss — identical to
-    running each key separately and picking the argmin by hand."""
+    running each key separately and picking the argmin by hand, in both
+    execution strategies (sequential ``lax.map`` lanes, the default, and
+    batched ``vmap`` lanes)."""
     import dataclasses
 
     from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
@@ -419,7 +422,8 @@ def test_multistart_selects_best_loss_restart(scene):
                          optimize_warp=True, poisson_model=True)
     single = PyramidSpec(gen=gen, roi=(0, H, 0, W), coarsest_patch=16,
                          finest_patch=8, n_iter=24)
-    multi = dataclasses.replace(single, n_restarts=3)
+    multi = dataclasses.replace(single, n_restarts=3,
+                                restart_mode=restart_mode)
     mask = jnp.asarray(roi_mask(single))
     frame = jnp.asarray(I1, jnp.float32)
     key = jax.random.PRNGKey(7)
