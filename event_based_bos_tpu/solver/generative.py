@@ -118,6 +118,13 @@ class GenerativeSpec:
     # seeds (within the seed spread).  Off by default — the warp numerics
     # change slightly, unlike the image_gradient restructure.
     warp_compute_bf16: bool = False
+    # Compute the per-frame polarity vote with the Pallas hat-matmul kernel
+    # (:mod:`event_based_bos_tpu.ops.iwe_pallas`) instead of the XLA
+    # 4-corner scatter.  Bit-exact for integer sensor coordinates and 2.1×
+    # faster at benchmark scale (7.4 vs 15.7 ms, `docs/performance.md`
+    # §micro).  None = auto: on when running on a TPU backend (the kernel
+    # does not lower on CPU outside interpret mode).
+    pallas_iwe: Optional[bool] = None
 
     @property
     def param_dim(self) -> int:
@@ -188,11 +195,28 @@ def iwe_cache(ev: Events, spec: GenerativeSpec):
     images and subtracts; here one signed scatter produces ``pos − neg``
     (or ``pos + neg`` for ``no_polarity``) directly, mathematically
     identical at half the scatter cost.
+
+    On TPU (``spec.pallas_iwe`` auto/True) the signed vote runs as the
+    Pallas hat-matmul kernel — bit-exact vs the scatter for the integer
+    sensor coordinates this cache always sees, 2.1× faster at 720×1280
+    (equivalence: ``tests/test_pallas_kernel.py``).
     """
     from ..ops.iwe import bilinear_vote
 
+    use_pallas = spec.pallas_iwe
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
     ev = ev.astype(spec.dtype)
-    if spec.no_polarity:
+    if use_pallas:
+        from ..ops.iwe_pallas import bilinear_vote_pallas, signed_vote_pallas
+
+        if spec.no_polarity:
+            hist = bilinear_vote_pallas(ev, spec.image_size)
+        else:
+            hist = signed_vote_pallas(ev, spec.image_size)
+        hist = hist.astype(spec.dtype)
+    elif spec.no_polarity:
         hist = bilinear_vote(ev, spec.image_size)
     else:
         sign = jnp.where(ev.p > 0, jnp.asarray(1, spec.dtype),

@@ -59,3 +59,113 @@ def test_nonaligned_sizes():
                     iwe_sigma=0, roi=None, use_pallas=False)
     want = binned_iwe(hists, dts, flow, spec)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Hat-matmul bilinear vote kernel (ops.iwe_pallas)
+# ---------------------------------------------------------------------------
+
+import event_based_bos_tpu.ops.iwe_pallas as ipk  # noqa: E402
+from event_based_bos_tpu.ops.iwe import (  # noqa: E402
+    bilinear_vote, create_polarity_iwe)
+from event_based_bos_tpu.solver.generative import (  # noqa: E402
+    GenerativeSpec, iwe_cache)
+from event_based_bos_tpu.types import events_from_arrays  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def vote_interpret_mode():
+    old = ipk.INTERPRET
+    ipk.INTERPRET = True
+    yield
+    ipk.INTERPRET = old
+
+
+def _rand_events(n, h, w, rng, fractional=False, spread=1.5):
+    """Events with coordinates inside and (when fractional) outside bounds."""
+    if fractional:
+        x = rng.uniform(-spread, h - 1 + spread, n).astype(np.float32)
+        y = rng.uniform(-spread, w - 1 + spread, n).astype(np.float32)
+    else:
+        x = rng.integers(0, h, n).astype(np.float32)
+        y = rng.integers(0, w, n).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1, n)).astype(np.float32)
+    return events_from_arrays(x=x, y=y, t=t, p=p)
+
+
+def test_vote_integer_coords_bitexact_vs_scatter():
+    rng = np.random.default_rng(0)
+    H, W = 24, 40
+    ev = _rand_events(700, H, W, rng)
+    want = np.asarray(bilinear_vote(ev, (H, W)))
+    got = np.asarray(ipk.bilinear_vote_pallas(ev, (H, W), chunk=256))
+    assert np.array_equal(want, got)
+
+
+def test_vote_fractional_and_oob_coords():
+    rng = np.random.default_rng(1)
+    H, W = 24, 40
+    ev = _rand_events(700, H, W, rng, fractional=True)
+    want = np.asarray(bilinear_vote(ev, (H, W)))
+    got = np.asarray(ipk.bilinear_vote_pallas(ev, (H, W), chunk=256))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_signed_vote_vs_scatter():
+    rng = np.random.default_rng(2)
+    H, W = 16, 32
+    ev = _rand_events(500, H, W, rng, fractional=True)
+    sign = jnp.where(ev.p > 0, 1.0, -1.0)
+    want = np.asarray(bilinear_vote(ev, (H, W), weight=sign))
+    got = np.asarray(ipk.signed_vote_pallas(ev, (H, W), chunk=256))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_vote_padding_and_weights():
+    rng = np.random.default_rng(3)
+    H, W = 16, 24
+    ev = _rand_events(400, H, W, rng, fractional=True)
+    wgt = jnp.asarray(rng.uniform(0.2, 2.0, ev.capacity), jnp.float32)
+    want = np.asarray(bilinear_vote(ev, (H, W), weight=wgt, padding=(3, 5)))
+    got = np.asarray(ipk.bilinear_vote_pallas(
+        ev, (H, W), weight=wgt, padding=(3, 5), chunk=128))
+    assert got.shape == (H + 6, W + 10)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_vote_ignores_masked_events():
+    rng = np.random.default_rng(4)
+    H, W = 16, 24
+    ev = _rand_events(300, H, W, rng)
+    keep = jnp.asarray(rng.integers(0, 2, ev.capacity) > 0)
+    masked = ev.mask_where(keep)
+    want = np.asarray(bilinear_vote(masked, (H, W)))
+    got = np.asarray(ipk.bilinear_vote_pallas(masked, (H, W), chunk=128))
+    assert np.array_equal(want, got)
+
+
+def test_polarity_iwe_pallas_vs_xla():
+    rng = np.random.default_rng(5)
+    H, W = 16, 24
+    ev = _rand_events(400, H, W, rng, fractional=True)
+    want = np.asarray(create_polarity_iwe(ev, (H, W)))
+    got = np.asarray(ipk.polarity_iwe_pallas(ev, (H, W), chunk=128))
+    assert got.shape == want.shape == (2, H, W)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("no_polarity", [False, True])
+def test_iwe_cache_pallas_flag_equivalent(no_polarity):
+    rng = np.random.default_rng(6)
+    H, W = 16, 24
+    ev = _rand_events(400, H, W, rng)
+    spec = GenerativeSpec(image_size=(H, W), no_polarity=no_polarity,
+                          pallas_iwe=False)
+    spec_p = GenerativeSpec(image_size=(H, W), no_polarity=no_polarity,
+                            pallas_iwe=True)
+    for a, b in zip(iwe_cache(ev, spec), iwe_cache(ev, spec_p)):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
