@@ -202,6 +202,12 @@ def evaluate_per_frames(config, loader, solv, viz):
     eval_config = config["evaluation"]
     common = config["common_params"]
     cropped_shape = (config["data"]["crop_height"], config["data"]["crop_width"])
+    # Timestamps survive preprocessing only when something downstream of the
+    # solve reads them: event-warp visualizations (viz on) or the FWL
+    # metric.  In serving mode without FWL a t-free facade (pyramid) then
+    # uploads the 5 B/event t-less quantized wire.
+    need_t_downstream = (viz is not None
+                         or "fwl" in eval_config.get("metrics", []))
     eval_dt = eval_config["dt"]
     n_events = config["data"].get("n_events_per_batch")
     max_event_dt = config["data"].get("max_time_per_event_batch")
@@ -298,7 +304,7 @@ def evaluate_per_frames(config, loader, solv, viz):
         # frame i in pipelined mode (device_put is thread-safe)
         with _section("preprocess"):
             work["filtered"], work["batch_time_scale"] = (
-                solv.preprocess(work["batch"]))
+                solv.preprocess(work["batch"], need_t=need_t_downstream))
         return ("work", fi, work)
 
     def _prepare_work(im1, t1, t2, frame1, frame2):

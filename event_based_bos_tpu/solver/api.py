@@ -198,6 +198,13 @@ class SolverBase:
     #: the option instead of silently fetching float32
     SUPPORTS_FLOW_FETCH_DTYPE = False
 
+    #: whether this facade's *solve* reads event timestamps.  Facades whose
+    #: events enter the objective only through the polarity histogram
+    #: (x, y, p) set this False, which lets :meth:`preprocess` honor a
+    #: caller's ``need_t=False`` and upload the t-less quantized wire
+    #: (5 B/event instead of 7-9) — see ``docs/performance.md`` §wire.
+    EVENTS_NEED_T = True
+
     def __init__(self, orig_image_shape, crop_image_shape,
                  calibration_parameter=None, solver_config=None,
                  visualize_module=None):
@@ -336,14 +343,25 @@ class SolverBase:
         return events_from_ndarray(arr, capacity=cap, dtype=self.dtype)
 
     # -- main API ----------------------------------------------------------------
-    def preprocess(self, events):
+    def preprocess(self, events, need_t: Optional[bool] = None):
         """Filter events; returns (events, time_period)
         (``base.py:123-139``).
 
         Raw ndarray input takes the host path: the native C++ filters run
         before the padded device upload; :class:`Events` input filters on
         device.
+
+        ``need_t=False`` declares that the *caller* will not read the
+        returned events' timestamps (no FWL metric, no event-warp
+        visualizations).  Combined with a facade whose solve is t-free
+        (``EVENTS_NEED_T = False``, e.g. the pyramid solver) this drops t
+        from the quantized wire upload — 5 B/event instead of 7-9.  The
+        time period is unaffected (computed from the host array before the
+        upload); host-side filters also run before the upload, so
+        time-dependent filters keep full timestamps either way.  Default
+        ``None`` keeps t (safe for arbitrary downstream use).
         """
+        carry_t = self.EVENTS_NEED_T or (need_t is None or bool(need_t))
         if isinstance(events, np.ndarray):
             # period from the raw host array: correct regardless of the
             # wire format the subsequent upload uses (a t-less quantized
@@ -355,8 +373,8 @@ class SolverBase:
                 filtered = self.filter_set.process_numpy(events)
                 logger.info("After preprocessing %d out of %d.",
                             len(filtered), num_orig)
-                return self._to_events(filtered), period
-            return self._to_events(events), period
+                return self._to_events(filtered, need_t=carry_t), period
+            return self._to_events(events, need_t=carry_t), period
 
         ev = self._to_events(events)
         num_orig = int(ev.count())
@@ -794,6 +812,7 @@ class PatchEkltPyramid2(SolverBase):
     (``patch_eklt_pyramid2.py:134-191``)."""
 
     SUPPORTS_FLOW_FETCH_DTYPE = True  # cast applied in _solver_fn
+    EVENTS_NEED_T = False  # solve consumes events only via (x, y, p)
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
