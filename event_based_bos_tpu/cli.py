@@ -135,9 +135,14 @@ def evaluate_per_frames(config, loader, solv, viz):
                                  "warm-start chain — set solver "
                                  "warm_start: true")
             if config.get("resume"):
-                raise ValueError("resume is not supported in sequential "
-                                 "mesh mode (a skipped frame would leave "
-                                 "its lane's warm chain undefined)")
+                # segment-aware restart: each lane drops its already-
+                # computed leading frames and restarts COLD at its first
+                # uncomputed frame (a chain reset — same semantics as that
+                # lane's frame 0; the warm-start feedback of the killed
+                # run is not persisted).  See run_segmented.
+                logger.info("resume in sequential mesh mode: resumed lanes "
+                            "restart their warm chain cold at their first "
+                            "uncomputed frame.")
             if pipeline:
                 # the segmented loop always runs its own one-step-deep
                 # pipeline (produce step t+1 while step t solves on device)
@@ -489,13 +494,33 @@ def evaluate_per_frames(config, loader, solv, viz):
         _next_frame[0] = base + len(idx)
         bounds = [round(d * len(idx) / mesh_B) for d in range(mesh_B + 1)]
         segments = [idx[bounds[d]:bounds[d + 1]] for d in range(mesh_B)]
+
+        # resume: trim each lane's leading already-computed frames (the
+        # per-frame manifest is written after every finalize, so a killed
+        # run leaves each lane prefix-complete).  The trimmed lane restarts
+        # at step 0 — which runs the COLD program — i.e. its warm chain
+        # resets at the first uncomputed frame, exactly the lane-frame-0
+        # semantics.  Frame numbers are unchanged (``skips`` offsets them),
+        # so artifacts land under the same names as an uninterrupted run.
+        skips = [0] * mesh_B
+        if store is not None:
+            for d in range(mesh_B):
+                while (skips[d] < len(segments[d])
+                       and (base + bounds[d] + skips[d]) in store):
+                    skips[d] += 1
+            if any(skips):
+                logger.info(
+                    "Resuming sequential mesh: lanes skip %s already-"
+                    "computed frames; resumed lanes restart their warm "
+                    "chain cold.", skips)
+            segments = [s[k:] for s, k in zip(segments, skips)]
         n_steps = max(len(s) for s in segments)
 
         def _produce_step(t):
             lane_items = []  # (fi, work-or-None) per lane
             for d in range(mesh_B):
                 if t < len(segments[d]):
-                    fi = base + bounds[d] + t
+                    fi = base + bounds[d] + skips[d] + t
                     tag, _, work = produce(segments[d][t], fi_override=fi)
                     lane_items.append((fi, work if tag == "work" else None))
                 else:

@@ -1,5 +1,6 @@
 """End-to-end pipeline tests on the synthetic dataset (CLI parity)."""
 
+import json
 import os
 
 import numpy as np
@@ -658,8 +659,9 @@ def test_mesh_sequential_rejects_incompatible_config(tiny_config, tmp_path):
             cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
 
     run_with({}, "warm_start")  # sequential needs the warm chain
-    run_with({"solver": {"warm_start": True}, "top": {"resume": True}},
-             "resume")
+    # ``resume: true`` is NOT rejected (round 4): each lane restarts its
+    # warm chain cold at its first uncomputed frame — covered by
+    # test_mesh_sequential_resume_after_kill.
     # ``pipeline: true`` is NOT rejected: the segmented loop runs its own
     # one-step-deep pipeline (produce step t+1 while step t solves), so the
     # flag is accepted as implicit (covered by the composition e2e test)
@@ -841,3 +843,80 @@ def test_serving_tless_wire_engages(tiny_config, tmp_path, monkeypatch):
         assert np.array_equal(a, b), f
     # and the FWL run actually produced the metric
     assert os.path.exists(os.path.join(out_t, "fwl_per_frame.txt"))
+
+
+def test_mesh_sequential_resume_after_kill(tiny_config, tmp_path, monkeypatch):
+    """Kill a sequential-mesh run mid-sequence, restart with ``resume:
+    true``: already-computed frames are not recomputed (byte-identical
+    artifacts survive), the remaining frames are produced under their
+    original numbers, and the final artifact set matches an uninterrupted
+    control run.  Resumed lanes restart their warm chain COLD at their
+    first uncomputed frame (chain reset — lane-frame-0 semantics), so
+    post-resume flows are valid but not bitwise those of the control."""
+    from event_based_bos_tpu.utils.checkpoint import FrameResultStore
+
+    cfg_path, _ = tiny_config
+
+    def make(out_name, resume):
+        cfg = yaml.safe_load(open(cfg_path))
+        cfg["data"]["duration"] = 0.3          # more frames: 2 lanes x ~3
+        cfg["evaluation"]["time_list"] = [[0.03, 0.3]]
+        cfg["solver"]["warm_start"] = True
+        cfg["solver"]["steady_n_iter"] = 10
+        cfg["mesh"] = {"data": 2, "event": 4, "sequential": True}
+        cfg["visualize"] = False
+        cfg["resume"] = resume
+        out = str(tmp_path / out_name)
+        cfg["output_dir"] = out
+        p = tmp_path / f"{out_name}.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        return str(p), out
+
+    def flows_in(out):
+        return sorted(f for f in os.listdir(out)
+                      if f.startswith("pred_flow") and f.endswith(".npy"))
+
+    # uninterrupted control
+    p_ctrl, out_ctrl = make("seqres_ctrl", resume=False)
+    assert cli.main(["--config_file", p_ctrl, "--eval",
+                     "--log", "warning"]) == 0
+    control_set = flows_in(out_ctrl)
+    assert len(control_set) >= 4
+
+    # killed run: the manifest write of the 3rd finalized frame dies
+    p_kill, out_kill = make("seqres", resume=True)
+    real_record = FrameResultStore.record
+    n_ok = [0]
+
+    def dying_record(self, *a, **k):
+        if n_ok[0] >= 2:
+            raise RuntimeError("simulated kill")
+        n_ok[0] += 1
+        return real_record(self, *a, **k)
+
+    monkeypatch.setattr(FrameResultStore, "record", dying_record)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        cli.main(["--config_file", p_kill, "--eval", "--log", "warning"])
+    monkeypatch.setattr(FrameResultStore, "record", real_record)
+
+    done = {f: open(os.path.join(out_kill, f), "rb").read()
+            for f in flows_in(out_kill)}
+    manifest_done = set(json.load(open(
+        os.path.join(out_kill, FrameResultStore.MANIFEST))))
+    assert len(manifest_done) == 2
+
+    # restart
+    assert cli.main(["--config_file", p_kill, "--eval",
+                     "--log", "warning"]) == 0
+    assert flows_in(out_kill) == control_set
+    for f in flows_in(out_kill):
+        data = open(os.path.join(out_kill, f), "rb").read()
+        idx = f[len("pred_flow"):-len(".npy")]
+        if idx in manifest_done:
+            # resumed frames kept, byte-identical — not recomputed
+            assert data == done[f], f
+        assert np.isfinite(np.load(os.path.join(out_kill, f))).all()
+    # manifest now covers every frame
+    final_manifest = set(json.load(open(
+        os.path.join(out_kill, FrameResultStore.MANIFEST))))
+    assert final_manifest == {str(i) for i in range(len(control_set))}
