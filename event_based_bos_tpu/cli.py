@@ -377,16 +377,23 @@ def evaluate_per_frames(config, loader, solv, viz):
         with _section("finalize/visualize"):
             if solv.visualizer is not None:
                 # all per-frame device renders in one program + fetch
-                b = solv.render_bundle(filtered, est_scaled, gt_flow)
+                b = solv.render_bundle(
+                    filtered, est_scaled, gt_flow,
+                    est_device=getattr(handle, "device_flow", None),
+                    est_scale=scale)
                 solv.visualize_original_sequential(
                     work["batch_for_gt"], filtered, clipped=b["clipped"])
-                solv.visualize_flows(est_scaled, gt_flow)
+                solv.visualize_flows(est_scaled, gt_flow,
+                                     polar_pred=b["polar_est"],
+                                     polar_gt=b["polar_gt"])
                 solv.visualize_pred_sequential(
                     filtered, est_scaled,
-                    poisson=b["poisson_est"], mask=b["mask"])
+                    poisson=b["poisson_est"], mask=b["mask"],
+                    polar=b["polar_est"])
                 solv.visualize_gt_sequential(
                     filtered, gt_flow,
-                    poisson=b["poisson_gt"], mask=b["mask"])
+                    poisson=b["poisson_gt"], mask=b["mask"],
+                    polar=b["polar_gt"])
 
         est_c = estimation[:, common["xmin"]:common["xmax"],
                            common["ymin"]:common["ymax"]]

@@ -89,9 +89,19 @@ def _jit_flow_error(masked: bool):
 @functools.lru_cache(maxsize=None)
 def _jit_render_bundle(image_shape):
     """All per-frame visualization device work in ONE program: clipped IWE,
-    event mask, and both Poisson-integration views (each extra dispatch
-    costs a full round trip over a remote-device link).  The Poisson views
-    are shape-agnostic (the two-step GT path yields crop-shaped flow)."""
+    event mask, both Poisson-integration views, and the HSV-polar planes of
+    both flows (each extra dispatch costs a full round trip over a remote-
+    device link).  The Poisson views are shape-agnostic (the two-step GT
+    path yields crop-shaped flow).
+
+    The polar planes ``(ang_u8, magp_f16)`` move the per-frame flow
+    colorization's float math (hypot, atan2, **0.5 at 0.9 Mpx — ~400 ms
+    *per colorized image* in host float64, of which the loop draws six) to
+    the device; the host keeps only the uint8 value-scaling, cv2's SIMD
+    HSV→RGB, and the PNG encode (see
+    ``visualizer.Visualizer.color_optical_flow_from_polar``).  f16 carries
+    ``mag**0.5`` with ≤5e-4 relative error — ≲0.13 of a uint8 LSB after
+    the 255 scaling."""
     from ..ops.image_warp import standardize_image_center
     from ..ops.poisson import poisson_integrate_flow
 
@@ -99,11 +109,26 @@ def _jit_render_bundle(image_shape):
         p = poisson_integrate_flow(flow.astype(jnp.float32))
         return standardize_image_center(p).astype(jnp.uint8)
 
-    def f(ev: Events, est_scaled: jax.Array, gt_flow: jax.Array,
-          max_scale: jax.Array):
+    def polar(flow):
+        fx = flow[0].astype(jnp.float32)
+        fy = flow[1].astype(jnp.float32)
+        fx = jnp.where(jnp.isfinite(fx), fx, 0.0)
+        fy = jnp.where(jnp.isfinite(fy), fy, 0.0)
+        magp = jnp.sqrt(jnp.sqrt(fx * fx + fy * fy))   # ‖flow‖ ** 0.5
+        ang = ((jnp.arctan2(fy, fx) + jnp.pi) * (180.0 / jnp.pi) / 2.0)
+        return ang.astype(jnp.uint8), magp.astype(jnp.float16)
+
+    def f(ev: Events, est: jax.Array, gt_flow: jax.Array,
+          max_scale: jax.Array, est_scale: jax.Array):
+        # est_scale folds the GT-window time rescale (and the output
+        # orientation sign) on device, so the solve's device-resident flow
+        # feeds the renders directly — no 7.4 MB re-upload of the scaled
+        # host copy over the remote-device link
+        est_scaled = est.astype(jnp.float32) * est_scale
         return (_clipped_iwe(ev, image_shape, max_scale),
                 create_eventmask(ev, image_shape),
-                poisson_view(est_scaled), poisson_view(gt_flow))
+                poisson_view(est_scaled), poisson_view(gt_flow),
+                polar(est_scaled), polar(gt_flow))
 
     return jax.jit(f)
 
@@ -484,25 +509,43 @@ class SolverBase:
                              self.calib_param["D"], None, new_mtx)
 
     # -- visualization ---------------------------------------------------------------
-    def render_bundle(self, events, est_scaled, gt_flow) -> dict:
+    def render_bundle(self, events, est_scaled, gt_flow,
+                      est_device=None, est_scale=1.0) -> dict:
         """Per-frame visualization artifacts in one device program + fetch.
 
-        Returns ``{"clipped", "mask", "poisson_est", "poisson_gt"}`` (numpy)
-        for the ``visualize_*`` methods' precomputed kwargs — the evaluation
-        loop otherwise pays four dispatch+fetch round trips per frame.
+        Returns ``{"clipped", "mask", "poisson_est", "poisson_gt",
+        "polar_est", "polar_gt"}`` (numpy) for the ``visualize_*`` methods'
+        precomputed kwargs — the evaluation loop otherwise pays four
+        dispatch+fetch round trips per frame plus six host-float64 flow
+        colorizations (the polar planes carry those, see
+        ``_jit_render_bundle``).
+
+        ``est_device`` (+ ``est_scale``) optionally supplies the solve's
+        device-resident UNORIENTED flow (``EstimationHandle.device_flow``):
+        the GT-window rescale and the output-orientation sign then apply on
+        device and the 7.4 MB host ``est_scaled`` upload is skipped.
         """
         ev = self._to_events(events)
-        clipped, mask, poi_est, poi_gt = jax.device_get(
+        if est_device is not None:
+            sign = -1.0 if self.flow_convention == "physical" else 1.0
+            est_in = est_device
+            sc = float(est_scale) * sign
+        else:
+            est_in = jnp.asarray(est_scaled)
+            sc = 1.0
+        clipped, mask, poi_est, poi_gt, pol_est, pol_gt = jax.device_get(
             _jit_render_bundle(self.orig_image_shape)(
-                ev, jnp.asarray(est_scaled), jnp.asarray(gt_flow),
+                ev, est_in, jnp.asarray(gt_flow),
                 jnp.asarray(float(self.iwe_visualize_max_scale),
-                            jnp.float32)))
+                            jnp.float32),
+                jnp.asarray(sc, jnp.float32)))
         if self.padding > 0:
             clipped = clipped[self.padding:-self.padding,
                               self.padding:-self.padding]
         self._eventmask_memo = (ev.x, mask)  # consumers np.asarray() it
         return {"clipped": clipped, "mask": mask,
-                "poisson_est": poi_est, "poisson_gt": poi_gt}
+                "poisson_est": poi_est, "poisson_gt": poi_gt,
+                "polar_est": pol_est, "polar_gt": pol_gt}
 
     def create_clipped_image(self, events, max_scale=50):
         """Inverted clipped IWE for viewing (``base.py:154-174``)."""
@@ -534,15 +577,16 @@ class SolverBase:
         self._register_video("original_filter")
 
     def visualize_pred_sequential(self, events, flow, poisson=None,
-                                  mask=None):
-        """(``base.py:231-252``).  ``poisson``/``mask`` optionally supply
-        the precomputed views (see :meth:`render_bundle`)."""
+                                  mask=None, polar=None):
+        """(``base.py:231-252``).  ``poisson``/``mask``/``polar``
+        optionally supply the precomputed views (see
+        :meth:`render_bundle`)."""
         if self.visualizer is None:
             return
         flow = np.asarray(flow)
         self.visualizer.visualize_optical_flow(
             flow[0], flow[1], visualize_color_wheel=False,
-            file_prefix="pred_flow", save_flow=True)
+            file_prefix="pred_flow", save_flow=True, polar=polar)
         self._register_video("pred_flow")
         self.visualizer.visualize_poisson_integration(
             flow, file_prefix="pred_flow_poisson", image=poisson)
@@ -551,18 +595,18 @@ class SolverBase:
             mask = np.asarray(self._eventmask(self._to_events(events)))
         self.visualizer.visualize_optical_flow_on_event_mask(
             flow, None, file_prefix="pred_masked", mask_color="black",
-            mask_morph=True, mask=mask)
+            mask_morph=True, mask=mask, polar=polar)
         self._register_video("pred_masked")
 
     def visualize_gt_sequential(self, events, gt_flow, poisson=None,
-                                mask=None):
+                                mask=None, polar=None):
         """(``base.py:254-273``)."""
         if self.visualizer is None:
             return
         gt_flow = np.asarray(gt_flow)
         self.visualizer.visualize_optical_flow(
             gt_flow[0], gt_flow[1], visualize_color_wheel=False,
-            file_prefix="gt_flow", save_flow=False)
+            file_prefix="gt_flow", save_flow=False, polar=polar)
         self._register_video("gt_flow")
         self.visualizer.visualize_poisson_integration(
             gt_flow, file_prefix="gt_flow_poisson", image=poisson)
@@ -571,17 +615,19 @@ class SolverBase:
             mask = np.asarray(self._eventmask(self._to_events(events)))
         self.visualizer.visualize_optical_flow_on_event_mask(
             gt_flow, None, file_prefix="gt_masked", mask_color="black",
-            mask_morph=True, mask=mask)
+            mask_morph=True, mask=mask, polar=polar)
         self._register_video("gt_masked")
 
-    def visualize_flows(self, pred_flow, gt_flow):
+    def visualize_flows(self, pred_flow, gt_flow, polar_pred=None,
+                        polar_gt=None):
         """(``base.py:276-287``)."""
         if self.visualizer is None:
             return
         self.visualizer.visualize_optical_flow_pred_and_gt(
             np.asarray(pred_flow), np.asarray(gt_flow),
             pred_file_prefix="flow_comparison_pred",
-            gt_file_prefix="flow_comparison_gt")
+            gt_file_prefix="flow_comparison_gt",
+            polar_pred=polar_pred, polar_gt=polar_gt)
 
     def visualize_one_batch_warp(self, events, warp=None):
         """(``base.py:177-190``)."""
@@ -994,7 +1040,11 @@ class PatchEkltPyramid2(SolverBase):
             return self._orient_flow(np.asarray(flow, dtype=np.float32))
 
         self.dispatch_cnt += 1
-        return EstimationHandle(finalize)
+        handle = EstimationHandle(finalize)
+        # the UNORIENTED device-resident flow: render_bundle reuses it so
+        # the visualization program needs no host flow re-upload
+        handle.device_flow = flow
+        return handle
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:
         return self.estimate_async(events, *args, **kwargs).result()

@@ -127,8 +127,10 @@ class Visualizer:
             self.prefixed_save_count.pop(file_prefix, None)
 
     def _show_or_save_image(self, image, file_prefix=None, fixed_file_name=None):
+        import cv2
         from PIL import Image
 
+        arr = image if isinstance(image, np.ndarray) else np.asarray(image)
         if isinstance(image, np.ndarray):
             image = Image.fromarray(image)
         if self._save:
@@ -136,7 +138,19 @@ class Visualizer:
                 fname = os.path.join(self.save_dir, f"{fixed_file_name}.png")
             else:
                 fname = self.get_filename_from_prefix(file_prefix)
-            image.save(fname)
+            # cv2's PNG encoder is ~6x faster than PIL's at 720x1280
+            # (59 vs 351 ms) — same lossless pixels, different file bytes.
+            # cv2 expects BGR(A) channel order; PIL mode "1"/"P" images
+            # don't map to a cv2 array, keep PIL for those.
+            if arr.dtype == np.uint8 and arr.ndim in (2, 3) and (
+                    arr.ndim == 2 or arr.shape[2] in (3, 4)):
+                if arr.ndim == 3:
+                    code = (cv2.COLOR_RGB2BGR if arr.shape[2] == 3
+                            else cv2.COLOR_RGBA2BGRA)
+                    arr = cv2.cvtColor(arr, code)
+                cv2.imwrite(fname, arr)
+            else:
+                image.save(fname)
         if self._show:
             image.show()
         return image
@@ -159,7 +173,10 @@ class Visualizer:
         flows = np.stack((flow_x, flow_y), axis=2)
         flows[~np.isfinite(flows)] = 0
         mag = np.linalg.norm(flows, axis=2) ** ord
-        ang = ((np.arctan2(flow_y, flow_x) + np.pi) * 180.0 / np.pi / 2.0)
+        # angle from the finite-zeroed copy too: NaN here would cast to an
+        # undefined hue (the pixel is black either way since its V is 0)
+        ang = ((np.arctan2(flows[..., 1], flows[..., 0]) + np.pi)
+               * 180.0 / np.pi / 2.0)
         hsv = np.zeros(flow_x.shape + (3,), np.uint8)
         hsv[..., 0] = ang.astype(np.uint8)
         hsv[..., 1] = 255
@@ -178,18 +195,75 @@ class Visualizer:
         color_wheel = cv2.cvtColor(whsv, cv2.COLOR_HSV2RGB)
         return flow_rgb, color_wheel, max_magnitude
 
+    def _color_wheel(self, n: int):
+        """The (flow-independent) HSV color wheel for an ``n``-row flow —
+        cached per size, since the per-frame loop re-saves the identical
+        wheel under a fixed name."""
+        import cv2
+
+        wheel = getattr(self, "_wheel_cache", {}).get(n)
+        if wheel is None:
+            xx, yy = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n))
+            wmag = np.sqrt(xx**2 + yy**2)
+            whsv = np.zeros((n, n, 3), np.uint8)
+            whsv[..., 0] = ((np.arctan2(yy, xx) + np.pi)
+                            * 180 / np.pi / 2.0).astype(np.uint8)
+            whsv[..., 1] = 255
+            whsv[..., 2] = (255 * wmag / wmag.max()).astype(np.uint8)
+            wheel = cv2.cvtColor(whsv, cv2.COLOR_HSV2RGB)
+            if not hasattr(self, "_wheel_cache"):
+                self._wheel_cache = {}
+            self._wheel_cache[n] = wheel
+        return wheel
+
+    def color_optical_flow_from_polar(self, ang_u8, magp, max_magnitude=None):
+        """HSV flow colorization from device-precomputed polar planes.
+
+        ``ang_u8``: the OpenCV hue plane (uint8, ``(atan2+π)·90/π``
+        truncated) and ``magp``: ``‖flow‖**ord`` — both rendered on device
+        inside the per-frame bundle (``solver.api._jit_render_bundle``),
+        leaving only the value-plane scaling, the SIMD ``cv2.cvtColor``,
+        and the PNG encode on the host.  Pixel-equivalent to
+        :meth:`color_optical_flow` up to float32-vs-float64 rounding at
+        uint8 quantization boundaries (asserted ≤1 LSB in
+        ``tests/test_visualizer_utils.py``).
+        """
+        import cv2
+
+        magp = np.asarray(magp, np.float32)
+        if max_magnitude is None:
+            mx = float(magp.max())
+            max_magnitude = mx if mx > 0 else 1.0
+        hsv = np.zeros(magp.shape + (3,), np.uint8)
+        hsv[..., 0] = np.asarray(ang_u8)
+        hsv[..., 1] = 255
+        hsv[..., 2] = np.clip(255.0 * magp / max_magnitude, 0,
+                              255).astype(np.uint8)
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), max_magnitude
+
     def visualize_optical_flow(self, flow_x, flow_y, visualize_color_wheel=True,
-                               file_prefix=None, save_flow=False, ord=0.5):
-        """(``visualizer.py:205-236``; also dumps `.npy` when save_flow)."""
+                               file_prefix=None, save_flow=False, ord=0.5,
+                               polar=None):
+        """(``visualizer.py:205-236``; also dumps `.npy` when save_flow).
+
+        ``polar`` optionally supplies the device-rendered ``(ang_u8, magp)``
+        planes (see :meth:`color_optical_flow_from_polar`); the host-side
+        float64 colorization runs otherwise.
+        """
         from PIL import Image
 
-        flow_x = _to_numpy(flow_x)
-        flow_y = _to_numpy(flow_y)
+        # flow_x/flow_y may be None when ``polar`` carries the render
+        flow_x = _to_numpy(flow_x) if flow_x is not None else None
+        flow_y = _to_numpy(flow_y) if flow_y is not None else None
         if save_flow and self._save:
             save_name = self.get_filename_from_prefix(file_prefix).replace("png", "npy")
             np.save(save_name, np.stack([flow_x, flow_y], axis=0))
             self.rollback_save_count(file_prefix)
-        rgb, wheel, _ = self.color_optical_flow(flow_x, flow_y, ord=ord)
+        if polar is not None:
+            rgb, _ = self.color_optical_flow_from_polar(*polar)
+            wheel = self._color_wheel(rgb.shape[0])
+        else:
+            rgb, wheel, _ = self.color_optical_flow(flow_x, flow_y, ord=ord)
         image = Image.fromarray(rgb)
         image = self._show_or_save_image(image, file_prefix)
         if visualize_color_wheel:
@@ -199,15 +273,30 @@ class Visualizer:
     def visualize_optical_flow_pred_and_gt(self, flow_pred, flow_gt,
                                            visualize_color_wheel=True,
                                            pred_file_prefix=None,
-                                           gt_file_prefix=None, ord=0.5):
-        """Common-scale pred/GT pair (``visualizer.py:333-370``)."""
-        flow_pred = _to_numpy(flow_pred)
-        flow_gt = _to_numpy(flow_gt)
-        _, _, mp = self.color_optical_flow(flow_pred[0], flow_pred[1], ord=ord)
-        _, _, mg = self.color_optical_flow(flow_gt[0], flow_gt[1], ord=ord)
-        mm = max(mp, mg)
-        rgb_p, _, _ = self.color_optical_flow(flow_pred[0], flow_pred[1], mm, ord)
-        rgb_g, wheel, _ = self.color_optical_flow(flow_gt[0], flow_gt[1], mm, ord)
+                                           gt_file_prefix=None, ord=0.5,
+                                           polar_pred=None, polar_gt=None):
+        """Common-scale pred/GT pair (``visualizer.py:333-370``).
+
+        With ``polar_pred``/``polar_gt`` (device-rendered polar planes) the
+        shared normalization is the max of the two magnitude planes and no
+        host-side colorization math runs.
+        """
+        if polar_pred is not None and polar_gt is not None:
+            mp = float(np.asarray(polar_pred[1], np.float32).max())
+            mg = float(np.asarray(polar_gt[1], np.float32).max())
+            mm = max(mp, mg)
+            mm = mm if mm > 0 else 1.0
+            rgb_p, _ = self.color_optical_flow_from_polar(*polar_pred, mm)
+            rgb_g, _ = self.color_optical_flow_from_polar(*polar_gt, mm)
+            wheel = self._color_wheel(rgb_p.shape[0])
+        else:
+            flow_pred = _to_numpy(flow_pred)
+            flow_gt = _to_numpy(flow_gt)
+            _, _, mp = self.color_optical_flow(flow_pred[0], flow_pred[1], ord=ord)
+            _, _, mg = self.color_optical_flow(flow_gt[0], flow_gt[1], ord=ord)
+            mm = max(mp, mg)
+            rgb_p, _, _ = self.color_optical_flow(flow_pred[0], flow_pred[1], mm, ord)
+            rgb_g, wheel, _ = self.color_optical_flow(flow_gt[0], flow_gt[1], mm, ord)
         self._show_or_save_image(rgb_p, pred_file_prefix)
         self._show_or_save_image(rgb_g, gt_file_prefix)
         if visualize_color_wheel:
@@ -237,12 +326,18 @@ class Visualizer:
     def visualize_optical_flow_on_event_mask(self, flow, events, file_prefix=None,
                                              ord=0.5, max_color_on_mask=True,
                                              mask_color="white",
-                                             mask_morph=False, mask=None):
+                                             mask_morph=False, mask=None,
+                                             polar=None):
         """Flow colorized only on event pixels (``visualizer.py:270-331``).
 
         ``mask`` optionally supplies a precomputed ``[1, H, W]`` event mask
         (the solver facade memoizes one jitted mask per filtered window);
-        otherwise it is computed from ``events`` here.
+        otherwise it is computed from ``events`` here.  ``polar`` optionally
+        supplies the device-rendered ``(ang_u8, magp)`` planes of the
+        *unmasked* flow: masking multiplies the magnitude plane (``mag**ord
+        · m ≡ (mag·m)**ord`` for a 0/1 mask) and the hue of masked-out
+        pixels is irrelevant (they are composited to the solid fill), so
+        the masked colorization needs no host float math.
         """
         import cv2
         from PIL import Image
@@ -262,7 +357,13 @@ class Visualizer:
             element = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3), (1, 1))
             mask = cv2.morphologyEx(mask.astype(np.uint8)[0], cv2.MORPH_CLOSE,
                                     element).astype(bool)[None]
-        if max_color_on_mask:
+        if polar is not None:
+            ang, magp = polar
+            if max_color_on_mask:
+                magp = np.asarray(magp, np.float32) * mask[0]
+            image = self.visualize_optical_flow(None, None, False,
+                                                polar=(ang, magp))
+        elif max_color_on_mask:
             mf = flow * mask
             image = self.visualize_optical_flow(mf[0], mf[1], False, ord=ord)
         else:

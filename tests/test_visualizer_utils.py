@@ -210,3 +210,81 @@ def test_frame_index_pinning(tmp_path):
     assert viz.get_filename_from_prefix("pred_flow").endswith("pred_flow2.png")
     viz.set_frame_index(None)  # back to call-order counting
     assert viz.get_filename_from_prefix("pred_flow").endswith("pred_flow3.png")
+
+
+class TestPolarColorization:
+    """Device-rendered polar planes vs the host float64 colorization
+    (round 4: the per-frame flow colorization moved into the render
+    bundle; the planes are f32 math + an f16 magnitude plane, so uint8
+    quantization boundaries may land one LSB apart — the images must be
+    visually identical)."""
+
+    @staticmethod
+    def _polar(flow):
+        # mirrors solver.api._jit_render_bundle's device math on numpy
+        fx = np.nan_to_num(flow[0].astype(np.float32), nan=0.0,
+                           posinf=0.0, neginf=0.0)
+        fy = np.nan_to_num(flow[1].astype(np.float32), nan=0.0,
+                           posinf=0.0, neginf=0.0)
+        magp = np.sqrt(np.sqrt(fx * fx + fy * fy))
+        ang = ((np.arctan2(fy, fx) + np.pi) * (180.0 / np.pi) / 2.0)
+        return ang.astype(np.uint8), magp.astype(np.float16)
+
+    def _assert_close(self, a, b):
+        diff = np.abs(a.astype(int) - b.astype(int))
+        # hue truncation one LSB apart shifts RGB by up to ~9 at sector
+        # boundaries; such pixels must be rare, everything else <= 1 LSB
+        assert (diff > 1).mean() < 0.01, (diff > 1).mean()
+        # +-1-LSB value-plane truncation differences are common (~25% of
+        # pixels); anything larger is confined to hue-sector boundaries
+        assert diff.mean() < 0.5
+
+    def test_polar_matches_host_colorization(self, viz):
+        rng = np.random.default_rng(0)
+        flow = rng.uniform(-3, 3, (2, 24, 32))
+        flow[0, 0, 0] = np.nan
+        flow[1, 2, 3] = np.inf
+        host, _, mx_h = viz.color_optical_flow(flow[0], flow[1], ord=0.5)
+        rgb, mx_p = viz.color_optical_flow_from_polar(*self._polar(flow))
+        self._assert_close(host, rgb)
+        assert abs(mx_h - mx_p) / mx_h < 1e-3
+
+    def test_polar_masked_view_matches(self, viz, tmp_path):
+        rng = np.random.default_rng(1)
+        flow = rng.uniform(-2, 2, (2, 24, 32))
+        mask = rng.uniform(0, 1, (1, 24, 32)) > 0.4
+        import cv2
+        viz.visualize_optical_flow_on_event_mask(
+            flow, None, file_prefix="m_host", mask_color="black",
+            mask_morph=True, mask=mask)
+        viz.visualize_optical_flow_on_event_mask(
+            flow, None, file_prefix="m_polar", mask_color="black",
+            mask_morph=True, mask=mask, polar=self._polar(flow))
+        a = cv2.imread(str(tmp_path / "m_host0.png"))
+        b = cv2.imread(str(tmp_path / "m_polar0.png"))
+        self._assert_close(a, b)
+
+    def test_polar_pred_gt_shared_scale(self, viz, tmp_path):
+        rng = np.random.default_rng(2)
+        pred = rng.uniform(-1, 1, (2, 24, 32))
+        gt = rng.uniform(-4, 4, (2, 24, 32))
+        import cv2
+        viz.visualize_optical_flow_pred_and_gt(
+            pred, gt, visualize_color_wheel=False,
+            pred_file_prefix="c_host_p", gt_file_prefix="c_host_g")
+        viz.visualize_optical_flow_pred_and_gt(
+            pred, gt, visualize_color_wheel=False,
+            pred_file_prefix="c_polar_p", gt_file_prefix="c_polar_g",
+            polar_pred=self._polar(pred), polar_gt=self._polar(gt))
+        for h, p in (("c_host_p0.png", "c_polar_p0.png"),
+                     ("c_host_g0.png", "c_polar_g0.png")):
+            a = cv2.imread(str(tmp_path / h))
+            b = cv2.imread(str(tmp_path / p))
+            self._assert_close(a, b)
+
+    def test_polar_color_wheel_still_saved(self, viz, tmp_path):
+        rng = np.random.default_rng(3)
+        flow = rng.uniform(-1, 1, (2, 24, 32))
+        viz.visualize_optical_flow(None, None, visualize_color_wheel=True,
+                                   file_prefix="wf", polar=self._polar(flow))
+        assert (tmp_path / "color_wheel.png").exists()
