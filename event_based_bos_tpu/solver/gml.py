@@ -40,7 +40,7 @@ from .generative import (
 )
 
 __all__ = ["GmlSpec", "initialize_theta", "solve_gml", "estimate_frame_gml",
-           "make_host_tpe_solver"]
+           "make_host_objective", "make_host_tpe_solver"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +59,33 @@ class GmlSpec:
     # > 0: record every k-th iterate for DEBUG evolution videos
     # (first-order methods only; see solver.evolution)
     record_evolution: int = 0
+
+    def __post_init__(self):
+        # Sampler methods draw every parameter from its configured box, so
+        # a bounds/model mismatch (e.g. `optimize_warp: true` with only
+        # v_x/v_y under `optimizer.parameters`) would otherwise surface as
+        # an opaque IndexError deep inside `unfold_scalar_params`.  The
+        # reference fails on the same mismatch with a KeyError at
+        # `_objective_optuna`'s suggest calls (``gml:241-255``); fail loud
+        # here with the actual fix instead.
+        from ..optim import SAMPLER_METHODS
+
+        if self.method in SAMPLER_METHODS and (
+                len(self.param_bounds) != self.gen.param_dim):
+            gen = self.gen
+            head = (["angle"] if gen.angle_model
+                    else ["p_intensity"] if gen.poisson_model
+                    else ["v_x", "v_y"])
+            warp = ((["p_magn", "p_angle"] if gen.pxpy_as_anglemagn
+                     else ["p_x", "p_y"]) if gen.optimize_warp else [])
+            raise ValueError(
+                f"sampler {self.method!r} needs a bounds box per model "
+                f"parameter: this model (angle_model={gen.angle_model}, "
+                f"poisson_model={gen.poisson_model}, "
+                f"optimize_warp={gen.optimize_warp}) has "
+                f"{gen.param_dim} parameters ({', '.join(head + warp)}) "
+                f"but `optimizer.parameters` configures "
+                f"{len(self.param_bounds)}")
 
 
 def initialize_theta(key: jax.Array, spec: GmlSpec) -> jax.Array:
@@ -148,20 +175,18 @@ def estimate_frame_gml(
     return flow, aux
 
 
-def make_host_tpe_solver(spec: GmlSpec):
-    """Host-driven sequential TPE solve path (true optuna TPE semantics).
+def make_host_objective(spec: GmlSpec):
+    """Per-frame host objective factory for host-driven studies.
 
-    TPE is sequential — each proposal conditions on every previous trial's
-    loss — so it cannot live inside one jitted program like the batched
-    samplers.  This mirrors the reference's execution shape exactly: the
-    study loop runs on host (``gml:215-236``), the objective is one small
-    device program per trial.  The heavy per-frame state (measured
-    increment, frame gradients, weight maps) is prepared once in a single
-    jitted program and stays on device across all trials.
-    """
+    Returns ``obj_for(ev, frame) -> objective`` where ``objective`` maps a
+    host ``(dim,)`` parameter array to a scalar loss via one small jitted
+    device program per call — the reference's optuna-trial execution shape
+    (``gml:256-276``).  The heavy per-frame state (measured increment,
+    frame gradients, weight maps) is prepared once in a single jitted
+    program and stays on device across all trials.  Shared by
+    :func:`make_host_tpe_solver` and the sampler-benchmark tests
+    (``tests/test_tpe.py``)."""
     import numpy as np
-
-    from ..tpe import run_tpe
 
     gen = spec.gen
     x0r, x1r, y0r, y1r = spec.roi
@@ -183,11 +208,33 @@ def make_host_tpe_solver(spec: GmlSpec):
             weights_roi=weights_roi)
         return loss
 
-    def solve(ev: Events, frame: jax.Array, seed: int):
+    def obj_for(ev: Events, frame: jax.Array):
         prep = prepare(ev, frame)
 
         def objective(x: np.ndarray) -> float:
             return float(eval_theta(jnp.asarray(x, gen.dtype), *prep))
+
+        return objective
+
+    return obj_for
+
+
+def make_host_tpe_solver(spec: GmlSpec):
+    """Host-driven sequential TPE solve path (true optuna TPE semantics).
+
+    TPE is sequential — each proposal conditions on every previous trial's
+    loss — so it cannot live inside one jitted program like the batched
+    samplers.  This mirrors the reference's execution shape exactly: the
+    study loop runs on host (``gml:215-236``), the objective is one small
+    device program per trial (see :func:`make_host_objective`).
+    """
+    from ..tpe import run_tpe
+
+    gen = spec.gen
+    obj_for = make_host_objective(spec)
+
+    def solve(ev: Events, frame: jax.Array, seed: int):
+        objective = obj_for(ev, frame)
 
         lo = [b[0] for b in spec.param_bounds]
         hi = [b[1] for b in spec.param_bounds]

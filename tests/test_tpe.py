@@ -64,9 +64,193 @@ class TestRunTpe:
         assert abs(res.param[0] - 0.5) < 0.1
 
 
+class TestOptunaDefaultsPinned:
+    """Trace-level pins of the optuna 2.10 default behaviors the sampler
+    implements (optuna itself is not installed in this image, so each pin
+    is a hand-computed expectation of the published default, named here).
+
+    Reference study construction: ``generative_max_likelihood.py:215-276``
+    with ``TPESampler(seed=...)`` — i.e. every knob at its optuna default.
+    """
+
+    def test_gamma_split_points(self):
+        """``optuna.samplers._tpe.sampler.default_gamma``:
+        ``min(ceil(0.1·n), 25)``."""
+        from event_based_bos_tpu.tpe import _default_gamma
+
+        for n, want in [(1, 1), (10, 1), (11, 2), (25, 3), (100, 10),
+                        (240, 24), (249, 25), (250, 25), (1000, 25)]:
+            assert _default_gamma(n) == want, n
+
+    def test_default_weights_ramp(self):
+        """``default_weights``: flat ≤25 observations, then a
+        ``linspace(1/n, 1, n-25)`` ramp ahead of 25 flat ones."""
+        from event_based_bos_tpu.tpe import _default_weights
+
+        np.testing.assert_array_equal(_default_weights(25), np.ones(25))
+        np.testing.assert_allclose(
+            _default_weights(26), np.concatenate([[1 / 26], np.ones(25)]))
+        np.testing.assert_allclose(
+            _default_weights(30),
+            np.concatenate([np.linspace(1 / 30, 1.0, 5), np.ones(25)]))
+
+    def test_startup_trials_are_uniform(self):
+        """``n_startup_trials = 10``: the first ten trials are plain
+        ``rng.uniform(lo, hi)`` draws (reproduced bit-exactly here with an
+        independent generator), the eleventh is a Parzen proposal."""
+        seen = []
+        run_tpe(lambda x: (seen.append(x.copy()), float(x @ x))[1],
+                ([-2.0, 0.0], [3.0, 4.0]), 11, seed=123)
+        rng = np.random.default_rng(123)
+        for t in range(10):
+            np.testing.assert_array_equal(
+                seen[t], rng.uniform([-2.0, 0.0], [3.0, 4.0]))
+
+    def test_parzen_components_hand_computed(self):
+        """``_ParzenEstimator`` construction on obs {0.2, 0.4} in [0, 1]:
+        prior component at the box center with full-box bandwidth
+        (``consider_prior=True``, ``prior_weight=1.0``), neighbor-distance
+        bandwidths with low/high sentinels, magic-clip floor
+        ``width / min(100, 1 + n_components)`` = 1/4 = 0.25 lifting both
+        observation bandwidths (raw 0.2), flat weights."""
+        est = ParzenEstimator(np.array([0.2, 0.4]), 0.0, 1.0)
+        np.testing.assert_allclose(est.mus, [0.2, 0.4, 0.5])
+        np.testing.assert_allclose(est.sigmas, [0.25, 0.25, 1.0])
+        np.testing.assert_allclose(est.weights, [1 / 3] * 3)
+
+    def test_magic_clip_floor_and_recency_reorder(self):
+        """49 duplicate observations: interior bandwidths collapse to the
+        magic-clip floor ``width/min(100, 1+50)`` = 1/51 (the duplicates'
+        raw neighbor distance is 0); the edge duplicates keep their
+        sentinel/prior distances (0.3 toward ``low``, 0.2 toward the prior
+        at 0.5); the prior keeps the full width.  With n=49 > 25 the
+        recency ramp engages, and duplicates sort stably so the pre-prior
+        weight order IS trial order."""
+        est = ParzenEstimator(np.full(49, 0.3), 0.0, 1.0)
+        np.testing.assert_allclose(est.mus[:-1], 0.3)
+        assert est.mus[-1] == 0.5
+        np.testing.assert_allclose(est.sigmas[0], 0.3)
+        np.testing.assert_allclose(est.sigmas[1:48], 1 / 51)
+        np.testing.assert_allclose(est.sigmas[48], 0.2)
+        np.testing.assert_allclose(est.sigmas[49], 1.0)
+        from event_based_bos_tpu.tpe import _default_weights
+
+        w = np.append(_default_weights(49), 1.0)
+        np.testing.assert_allclose(est.weights, w / w.sum())
+
+    def test_magic_clip_saturates_at_width_over_100(self):
+        est = ParzenEstimator(np.full(149, 0.3), 0.0, 1.0)
+        np.testing.assert_allclose(est.sigmas[1:148], 1 / 100)
+
+    def test_ei_argmax_over_24_candidates(self, monkeypatch):
+        """``n_ei_candidates = 24`` draws from the below-estimator ``l``,
+        scored by ``log l(x) − log g(x)``, best score evaluated; the below
+        set holds the γ(10)=1 best startup trial."""
+        import event_based_bos_tpu.tpe as tpe_mod
+
+        created, sampled = [], []
+
+        class Rec(ParzenEstimator):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                created.append(self)
+
+            def sample(self, rng, n):
+                out = super().sample(rng, n)
+                sampled.append((self, out.copy()))
+                return out
+
+        monkeypatch.setattr(tpe_mod, "ParzenEstimator", Rec)
+        seen = []
+
+        def obj(x):
+            seen.append(x.copy())
+            return float((x[0] - 0.37) ** 2)
+
+        tpe_mod.run_tpe(obj, ([0.0], [1.0]), 11, seed=5)
+        assert len(created) == 2 and len(sampled) == 1
+        l_est, g_est = created
+        owner, cand = sampled[0]
+        assert owner is l_est and len(cand) == 24
+        # below = the single best startup observation (+ prior)
+        best = min(range(10), key=lambda i: (seen[i][0] - 0.37) ** 2)
+        assert len(l_est.mus) == 2 and seen[best][0] in l_est.mus
+        assert len(g_est.mus) == 10  # the other 9 + prior
+        score = l_est.log_pdf(cand) - g_est.log_pdf(cand)
+        assert seen[10][0] == cand[int(np.argmax(score))]
+
+
+def test_sampler_bounds_model_mismatch_fails_loud():
+    """`optimize_warp: true` with only v_x/v_y sampler bounds must raise a
+    ValueError naming the missing parameters at spec construction — not an
+    IndexError deep inside the traced objective (found driving the CLI)."""
+    from event_based_bos_tpu.solver import GenerativeSpec
+    from event_based_bos_tpu.solver.gml import GmlSpec
+
+    gen = GenerativeSpec(image_size=(H, W), optimize_warp=True,
+                         poisson_model=False)
+    with pytest.raises(ValueError, match="p_x, p_y"):
+        GmlSpec(gen=gen, roi=(0, H, 0, W), method="TPE", n_iter=8,
+                param_bounds=((-3, 3), (-3, 3)))
+    # matching box count constructs fine
+    GmlSpec(gen=gen, roi=(0, H, 0, W), method="TPE", n_iter=8,
+            param_bounds=((-3, 3),) * 4)
+    # non-sampler methods initialize from x0, not bounds — unaffected
+    GmlSpec(gen=gen, roi=(0, H, 0, W), method="Adam", n_iter=8)
+
+
 @pytest.fixture(scope="module")
 def scene():
     return synthetic_scene(H, W, du=(1.5, -0.8), n=20000)
+
+
+def test_tpe_beats_random_on_gml_objective(scene):
+    """Sampler benchmark on the REAL per-frame GML objective (not a toy
+    quadratic): at the reference's optuna budget shape, TPE's best loss
+    must beat an equal-budget uniform-random study and land near the
+    planted translation (``du`` = (1.5, −0.8) ⇒ flow ≈ −du)."""
+    import jax.numpy as jnp
+
+    from event_based_bos_tpu.solver import collections
+    from event_based_bos_tpu.solver.gml import make_host_objective
+
+    I1, _, events = scene
+    cfg = {
+        "filter": {"filters": None,
+                   "parameters": {"xmin": 0, "xmax": H, "ymin": 0, "ymax": W}},
+        "method": "generative_max_likelihood",
+        "outer_padding": 0,
+        "cost_with_weight": {"diff_norm": 1.0},
+        "optimizer": {"method": "optuna", "sampler": "TPE", "n_iter": 60,
+                      "parameters": {"v_x": {"min": -3, "max": 3},
+                                     "v_y": {"min": -3, "max": 3}}},
+        "generative_ml": {"weight_loss_by_event_hist": False,
+                          "weight_sigma": 5,
+                          "weight_loss_by_inverse_event_hist": False,
+                          "optimize_warp": False, "iwe_sigma": 2,
+                          "viz_diff_scale": [-0.25, 0.25],
+                          "no_polarity": False, "model_image": "current",
+                          "use_log_intensity": False, "poisson_model": False},
+    }
+    solv = collections["generative_max_likelihood"]((H, W), (H, W), {}, cfg,
+                                                    None)
+    obj = make_host_objective(solv.spec)(solv._to_events(events),
+                                         jnp.asarray(I1, solv.dtype))
+    lo, hi = np.full(2, -3.0), np.full(2, 3.0)
+    res = run_tpe(obj, (lo, hi), 60, seed=11)
+    rng = np.random.default_rng(11)
+    random_best_x, random_best = None, np.inf
+    for _ in range(60):
+        x = rng.uniform(lo, hi)
+        v = obj(x)
+        if v < random_best:
+            random_best_x, random_best = x, v
+    assert res.loss < random_best, (res.loss, random_best)
+    # and TPE's argmin is closer to the planted motion
+    target = np.array([1.5, -0.8])
+    assert (np.linalg.norm(res.param - target)
+            < np.linalg.norm(random_best_x - target)), (res.param,
+                                                        random_best_x)
 
 
 def test_gml_facade_tpe_sequential(scene):
