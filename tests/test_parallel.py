@@ -187,6 +187,79 @@ def test_hyperparam_sweep_sharded():
     assert float(jnp.abs(flows[0] - flows[-1]).max()) > 0
 
 
+def test_sequential_mesh_benchmark_shape_equivalence():
+    """Benchmark-shaped sequential-mesh equivalence (VERDICT r3 #3):
+    192×320 frames, a real 2^15 capacity bucket, 2 warm-started lanes ×
+    3 steps, cold step at the full schedule and warm steps at the
+    ``steady_n_iter`` swap — vs two independent single-device warm chains
+    with the same keys.  Same tolerance rationale as
+    ``test_multichip_benchmark_shape_equivalence``: the only
+    nondeterminism is the event-axis scatter/psum summation order, so the
+    1e-4 relative bound is scatter-order noise, not hidden divergence."""
+    import dataclasses
+    import functools
+
+    from event_based_bos_tpu.parallel import (make_mesh,
+                                              make_multichip_sequential,
+                                              stack_events)
+    from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.pyramid import (estimate_frame, roi_mask,
+                                                    update_coarse_from_fine)
+
+    h, w, cap = 192, 320, 1 << 15
+    gen = GenerativeSpec(image_size=(h, w), iwe_sigma=2.0,
+                         weight_by_inverse_event_hist=True,
+                         optimize_warp=True, poisson_model=True)
+    spec = PyramidSpec(gen=gen, roi=(0, h, 64, 256), coarsest_patch=32,
+                       finest_patch=8, n_iter=30)
+    steady = dataclasses.replace(spec, n_iter=12)
+
+    def window(seed):
+        r = np.random.default_rng(seed)
+        n = cap - 700
+        arr = np.stack([r.uniform(0, h - 1, n), r.uniform(0, w - 1, n),
+                        np.sort(r.uniform(0, 0.01, n)),
+                        r.integers(0, 2, n) * 2.0 - 1.0], 1)
+        return (events_from_ndarray(arr, capacity=cap),
+                jnp.asarray(r.uniform(0, 255, (h, w)), jnp.float32))
+
+    seq = [[window(10 * d + t) for t in range(3)] for d in range(2)]
+    keys = [[jax.random.PRNGKey(100 * d + t) for t in range(3)]
+            for d in range(2)]
+    mask = jnp.asarray(roi_mask(spec))
+
+    want = [[None] * 3 for _ in range(2)]
+    cold = jax.jit(functools.partial(estimate_frame, spec=spec))
+    warm = jax.jit(functools.partial(estimate_frame, spec=steady))
+    for d in range(2):
+        prev = None
+        for t in range(3):
+            ev, fr = seq[d][t]
+            fn = cold if prev is None else warm
+            flow, aux = fn(ev, fr, mask, keys[d][t], prev_params=prev)
+            prev = update_coarse_from_fine(
+                aux["params_per_scale"], spec if t == 0 else steady)
+            want[d][t] = np.asarray(flow)
+
+    mesh = make_mesh((2, 4), ("data", "event"))
+    step_cold, step_warm = make_multichip_sequential(spec, mesh,
+                                                     steady_spec=steady)
+    prev = None
+    for t in range(3):
+        ev_b = stack_events([seq[0][t][0], seq[1][t][0]])
+        frames = jnp.stack([seq[0][t][1], seq[1][t][1]])
+        ks = jnp.stack([keys[0][t], keys[1][t]])
+        if t == 0:
+            flows, prev, _ = step_cold(ev_b, frames, mask, ks)
+        else:
+            flows, prev, _ = step_warm(ev_b, frames, mask, ks, prev,
+                                       jnp.array([True, True]))
+        for d in range(2):
+            a, b = want[d][t], np.asarray(flows[d])
+            rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 1e-4, (t, d, rel)
+
+
 def test_sequential_mesh_matches_single_device_chains():
     """D=2 warm-started lanes in lockstep == two single-device warm chains
     with the same keys (cold step at the full schedule, warm steps at the
