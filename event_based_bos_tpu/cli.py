@@ -351,6 +351,19 @@ def evaluate_per_frames(config, loader, solv, viz):
             handle = solv.estimate_async(
                 work["filtered"], work["gt_flow"], frame=work["im1"],
                 background=im0, frame_time=work["t1"])
+            dev_flow = getattr(handle, "device_flow", None)
+            if solv.visualizer is not None and dev_flow is not None:
+                # dispatch the render bundle right behind the solve and
+                # start its host copies — the ~9 MB of render planes then
+                # cross the tunnel while the previous frame's PNGs encode,
+                # instead of blocking finalize (render_bundle_async)
+                ts = work["batch_time_scale"]
+                scale = (work["t2"] - work["t1"]) / ts if ts else 1.0
+                handle.bundle_fetch = solv.render_bundle_async(
+                    work["filtered"], None, work["gt_flow"],
+                    est_device=dev_flow, est_scale=scale,
+                    err_crop=(common["xmin"], common["xmax"],
+                              common["ymin"], common["ymax"]))
         return handle
 
     def finalize(work, handle, i_frame):
@@ -374,13 +387,24 @@ def evaluate_per_frames(config, loader, solv, viz):
         scale = gt_time_scale / batch_time_scale if batch_time_scale else 1.0
         est_scaled = estimation * scale
 
+        errors = None
         with _section("finalize/visualize"):
             if solv.visualizer is not None:
-                # all per-frame device renders in one program + fetch
-                b = solv.render_bundle(
-                    filtered, est_scaled, gt_flow,
-                    est_device=getattr(handle, "device_flow", None),
-                    est_scale=scale)
+                # all per-frame device renders in one program + fetch; the
+                # evaluation error pair rides the same program (the flows
+                # are already on device there).  The dispatch stage usually
+                # pre-dispatched it with async host copies (bundle_fetch).
+                fetch = getattr(handle, "bundle_fetch", None)
+                if fetch is not None:
+                    b = fetch()
+                else:
+                    b = solv.render_bundle(
+                        filtered, est_scaled, gt_flow,
+                        est_device=getattr(handle, "device_flow", None),
+                        est_scale=scale,
+                        err_crop=(common["xmin"], common["xmax"],
+                                  common["ymin"], common["ymax"]))
+                errors = b["errors"]
                 solv.visualize_original_sequential(
                     work["batch_for_gt"], filtered, clipped=b["clipped"])
                 solv.visualize_flows(est_scaled, gt_flow,
@@ -395,13 +419,16 @@ def evaluate_per_frames(config, loader, solv, viz):
                     poisson=b["poisson_gt"], mask=b["mask"],
                     polar=b["polar_gt"])
 
-        est_c = estimation[:, common["xmin"]:common["xmax"],
-                           common["ymin"]:common["ymax"]]
-        gt_c = gt_flow[:, common["xmin"]:common["xmax"],
-                       common["ymin"]:common["ymax"]]
         with _section("finalize/errors"):
-            err_nomask, err_mask = solv.calculate_flow_errors(
-                est_c, gt_c, filtered, roi)
+            if errors is not None:
+                err_nomask, err_mask = errors
+            else:
+                est_c = estimation[:, common["xmin"]:common["xmax"],
+                                   common["ymin"]:common["ymax"]]
+                gt_c = gt_flow[:, common["xmin"]:common["xmax"],
+                               common["ymin"]:common["ymax"]]
+                err_nomask, err_mask = solv.calculate_flow_errors(
+                    est_c, gt_c, filtered, roi)
         solv.save_flow_error_as_text(i_frame, err_nomask,
                                      "flow_error_per_frame_without_mask.txt")
         solv.save_flow_error_as_text(i_frame, err_mask,

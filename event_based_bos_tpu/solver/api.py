@@ -87,12 +87,14 @@ def _jit_flow_error(masked: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_render_bundle(image_shape):
+def _jit_render_bundle(image_shape, err_crop=None):
     """All per-frame visualization device work in ONE program: clipped IWE,
-    event mask, both Poisson-integration views, and the HSV-polar planes of
-    both flows (each extra dispatch costs a full round trip over a remote-
-    device link).  The Poisson views are shape-agnostic (the two-step GT
-    path yields crop-shaped flow).
+    event mask, both Poisson-integration views, the HSV-polar planes of
+    both flows, and (with ``err_crop``) both flow-error dicts (each extra
+    dispatch costs a full round trip over a remote-device link).  The
+    Poisson views are shape-agnostic (non-CLI callers may pass crop-shaped
+    flows; ``err_crop`` requires the full-frame shapes the CLI loop always
+    has — ``frame_flow`` pads every GT branch to the original size).
 
     The polar planes ``(ang_u8, magp_f16)`` move the per-frame flow
     colorization's float math (hypot, atan2, **0.5 at 0.9 Mpx — ~400 ms
@@ -101,7 +103,12 @@ def _jit_render_bundle(image_shape):
     HSV→RGB, and the PNG encode (see
     ``visualizer.Visualizer.color_optical_flow_from_polar``).  f16 carries
     ``mag**0.5`` with ≤5e-4 relative error — ≲0.13 of a uint8 LSB after
-    the 255 scaling."""
+    the 255 scaling.
+
+    Folding the error pair in (vs the standalone
+    :func:`_jit_flow_error_pair` dispatch) also drops the per-frame
+    re-upload of the cropped pred/gt flows (~12 MB) the loop otherwise
+    pays — the bundle already holds both on device."""
     from ..ops.image_warp import standardize_image_center
     from ..ops.poisson import poisson_integrate_flow
 
@@ -119,16 +126,27 @@ def _jit_render_bundle(image_shape):
         return ang.astype(jnp.uint8), magp.astype(jnp.float16)
 
     def f(ev: Events, est: jax.Array, gt_flow: jax.Array,
-          max_scale: jax.Array, est_scale: jax.Array):
+          max_scale: jax.Array, est_scale: jax.Array, err_scale: jax.Array):
         # est_scale folds the GT-window time rescale (and the output
         # orientation sign) on device, so the solve's device-resident flow
         # feeds the renders directly — no 7.4 MB re-upload of the scaled
         # host copy over the remote-device link
-        est_scaled = est.astype(jnp.float32) * est_scale
-        return (_clipped_iwe(ev, image_shape, max_scale),
-                create_eventmask(ev, image_shape),
-                poisson_view(est_scaled), poisson_view(gt_flow),
-                polar(est_scaled), polar(gt_flow))
+        est32 = est.astype(jnp.float32)
+        est_scaled = est32 * est_scale
+        mask = create_eventmask(ev, image_shape)
+        out = (_clipped_iwe(ev, image_shape, max_scale), mask,
+               poisson_view(est_scaled), poisson_view(gt_flow),
+               polar(est_scaled), polar(gt_flow))
+        if err_crop is not None:
+            # the evaluation pair compares the UNSCALED oriented flow
+            # (err_scale = sign, or 1/time-scale on the host-flow path)
+            x0, x1, y0, y1 = err_crop
+            pred_c = (est32 * err_scale)[None, :, x0:x1, y0:y1]
+            gt_c = gt_flow.astype(jnp.float32)[None, :, x0:x1, y0:y1]
+            m = mask[:, x0:x1, y0:y1][None]
+            out = out + (calculate_flow_error(gt_c, pred_c),
+                         calculate_flow_error(gt_c, pred_c, event_mask=m))
+        return out
 
     return jax.jit(f)
 
@@ -510,7 +528,8 @@ class SolverBase:
 
     # -- visualization ---------------------------------------------------------------
     def render_bundle(self, events, est_scaled, gt_flow,
-                      est_device=None, est_scale=1.0) -> dict:
+                      est_device=None, est_scale=1.0,
+                      err_crop=None) -> dict:
         """Per-frame visualization artifacts in one device program + fetch.
 
         Returns ``{"clipped", "mask", "poisson_est", "poisson_gt",
@@ -524,28 +543,75 @@ class SolverBase:
         device-resident UNORIENTED flow (``EstimationHandle.device_flow``):
         the GT-window rescale and the output-orientation sign then apply on
         device and the 7.4 MB host ``est_scaled`` upload is skipped.
+
+        ``err_crop`` (the evaluation ROI ``(x0, x1, y0, y1)``) folds the
+        per-frame (unmasked, event-masked) flow-error pair into the same
+        program — semantically :meth:`calculate_flow_errors` on the
+        ROI-cropped unscaled flows — returned under ``"errors"``.
+        """
+        return self.render_bundle_async(events, est_scaled, gt_flow,
+                                        est_device=est_device,
+                                        est_scale=est_scale,
+                                        err_crop=err_crop)()
+
+    def render_bundle_async(self, events, est_scaled, gt_flow,
+                            est_device=None, est_scale=1.0, err_crop=None):
+        """Dispatch the render-bundle program and start the device→host
+        copies WITHOUT blocking; returns ``fetch() -> dict``.
+
+        The evaluation loop calls this right after the solve dispatch (the
+        bundle consumes the solve's device-resident output, so it queues
+        behind it on device) — by finalize time the ~9 MB of render planes
+        have already crossed the tunnel, overlapped with the previous
+        frame's host PNG work, instead of being a blocking fetch inside
+        the finalize stage.
         """
         ev = self._to_events(events)
         if est_device is not None:
             sign = -1.0 if self.flow_convention == "physical" else 1.0
             est_in = est_device
             sc = float(est_scale) * sign
+            err_sc = sign
         else:
             est_in = jnp.asarray(est_scaled)
             sc = 1.0
-        clipped, mask, poi_est, poi_gt, pol_est, pol_gt = jax.device_get(
-            _jit_render_bundle(self.orig_image_shape)(
-                ev, est_in, jnp.asarray(gt_flow),
-                jnp.asarray(float(self.iwe_visualize_max_scale),
-                            jnp.float32),
-                jnp.asarray(sc, jnp.float32)))
-        if self.padding > 0:
-            clipped = clipped[self.padding:-self.padding,
-                              self.padding:-self.padding]
-        self._eventmask_memo = (ev.x, mask)  # consumers np.asarray() it
-        return {"clipped": clipped, "mask": mask,
-                "poisson_est": poi_est, "poisson_gt": poi_gt,
-                "polar_est": pol_est, "polar_gt": pol_gt}
+            err_sc = 1.0 / float(est_scale) if est_scale else 1.0
+        if getattr(self, "_fetch_dtype", None) is not None:
+            # reduced-precision wire (flow_fetch_dtype) symmetrically: the
+            # 7.4 MB full-frame GT upload halves too (≤5e-4 relative on
+            # Farnebäck GT — error-text deltas ~1e-3 px, well inside the
+            # ±0.02 px parity band; the program computes in f32 as before)
+            gt_flow = np.asarray(gt_flow, self._fetch_dtype)
+        out = _jit_render_bundle(self.orig_image_shape, err_crop)(
+            ev, est_in, jnp.asarray(gt_flow),
+            jnp.asarray(float(self.iwe_visualize_max_scale), jnp.float32),
+            jnp.asarray(sc, jnp.float32),
+            jnp.asarray(err_sc, jnp.float32))
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - non-array leaf
+                pass
+
+        def fetch() -> dict:
+            host = jax.device_get(out)
+            clipped, mask, poi_est, poi_gt, pol_est, pol_gt = host[:6]
+            if self.padding > 0:
+                clipped = clipped[self.padding:-self.padding,
+                                  self.padding:-self.padding]
+            self._eventmask_memo = (ev.x, mask)  # consumers np.asarray() it
+            bundle = {"clipped": clipped, "mask": mask,
+                      "poisson_est": poi_est, "poisson_gt": poi_gt,
+                      "polar_est": pol_est, "polar_gt": pol_gt}
+            if err_crop is not None:
+                errs = tuple({k: float(v) for k, v in d.items()}
+                             for d in host[6:8])
+                logger.info("flow_error = %s", errs[0])
+                logger.info("flow_error = %s", errs[1])
+                bundle["errors"] = errs
+            return bundle
+
+        return fetch
 
     def create_clipped_image(self, events, max_scale=50):
         """Inverted clipped IWE for viewing (``base.py:154-174``)."""

@@ -629,3 +629,36 @@ def test_prewarm_covers_the_warm_frame_program(scene, steady):
     solv.estimate(events, None, frame=I1, background=I1)  # warm frame 1
     # no new traces: both real frames hit prewarmed executables
     assert {k: fn._cache_size() for k, fn in solv._jitted.items()} == sizes
+
+
+def test_render_bundle_folded_errors_match_standalone(scene):
+    """The error pair folded into the render bundle (``err_crop``) must
+    equal the standalone :meth:`calculate_flow_errors` dispatch on the
+    ROI-cropped unscaled flows — both the device-flow path (pyramid
+    facade) and the host-flow fallback."""
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    filtered, _ = solv.preprocess(events)
+    handle = solv.estimate_async(filtered, None, frame=I1, background=I1)
+    estimation = handle.result()
+    scale = 1.7
+    est_scaled = estimation * scale
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-1, 1, (2, H, W)).astype(np.float32)
+    crop = (4, H - 4, 8, W - 8)
+    roi = {"xmin": crop[0], "xmax": crop[1], "ymin": crop[2],
+           "ymax": crop[3]}
+    want = solv.calculate_flow_errors(
+        estimation[:, crop[0]:crop[1], crop[2]:crop[3]],
+        gt[:, crop[0]:crop[1], crop[2]:crop[3]], filtered, roi)
+
+    for dev in (handle.device_flow, None):
+        b = solv.render_bundle(filtered, est_scaled, gt, est_device=dev,
+                               est_scale=scale, err_crop=crop)
+        for got_d, want_d in zip(b["errors"], want):
+            assert set(got_d) == set(want_d)
+            for k in want_d:
+                assert abs(got_d[k] - want_d[k]) <= 1e-5 * (
+                    1.0 + abs(want_d[k])), (dev is None, k, got_d[k],
+                                            want_d[k])

@@ -75,6 +75,23 @@ def _load():
 
 
 def _save(state):
+    # merge-on-save: long batches are sometimes run as several concurrent
+    # runner processes (one per variant); each holds its own in-memory
+    # state loaded at startup, so a blind whole-state write would drop
+    # every pair another runner completed since then (last-writer-wins).
+    # Re-read the file and fold in any run keys with MORE fields than our
+    # copy before writing.
+    if os.path.exists(RESULTS):
+        try:
+            with open(RESULTS) as f:
+                disk = json.load(f)
+            for key, run in disk.get("runs", {}).items():
+                mine = state["runs"].get(key, {})
+                if len(run) > len(mine):
+                    state["runs"][key] = run
+        except (json.JSONDecodeError, OSError):
+            pass
+    summarize(state)
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
     tmp = RESULTS + ".tmp"
     with open(tmp, "w") as f:
@@ -157,11 +174,13 @@ def main():
                 run["pair_corr"] = float(np.corrcoef(
                     my_flow.ravel(), ref_flow[crop].ravel())[0, 1])
                 os.unlink(RESULTS + f".{key}.my.npy")
+                # _save summarizes after every merge, so the committed
+                # golden stays internally consistent at every point of a
+                # long batch (ADVICE r3)
                 _save(state)
             print(json.dumps(run), flush=True)
-    s = summarize(state)
     _save(state)
-    print(json.dumps(s, indent=1))
+    print(json.dumps(state.get("summary"), indent=1))
 
 
 if __name__ == "__main__":

@@ -164,12 +164,17 @@ def main():
         os._exit(0)
     if "--visualize-only" in sys.argv:
         # full-artifact evaluation loop (visualize on): the round-4
-        # device-polar colorization + cv2 PNG path (VERDICT r3 #4)
+        # device-polar colorization + cv2 PNG path (VERDICT r3 #4), plus
+        # the wire-composed variant (quantized upload, f16 flow fetch +
+        # f16 GT upload) — at steady state the loop is tunnel-byte-bound
         run_once(False, 2, small)
         pipe = run_once(True, n_frames, small)
+        pipe_w = run_once(True, n_frames, small, wire=True)
         print(json.dumps({
             "visualize_pipelined_s_per_frame": round(pipe["s_per_frame"], 3),
             "visualize_pipelined_steady": round(pipe["steady_s_per_frame"], 3),
+            "visualize_wire_s_per_frame": round(pipe_w["s_per_frame"], 3),
+            "visualize_wire_steady": round(pipe_w["steady_s_per_frame"], 3),
             "frames": pipe["frames"]}))
         sys.stdout.flush()
         os._exit(0)
