@@ -589,15 +589,30 @@ class Visualizer:
 
     def visualize_optuna_history(self, losses, file_prefix: str = "sampler_history"):
         """Sampler-trial loss scatter (the reference declares but never
-        implements this — ``gml:649``; implemented here)."""
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        implements this — ``gml:649``; implemented here).  Same persistent
+        writer-owned figure scheme as :meth:`visualize_scipy_history`."""
+        if not self._save:
+            return
+        losses = np.asarray(losses, dtype=np.float64).reshape(-1)
+        fname = self.get_filename_from_prefix(file_prefix)
 
-        plt.figure()
-        plt.plot(np.asarray(losses), ".")
-        plt.xlabel("trial")
-        plt.ylabel("objective")
-        if self._save:
-            plt.savefig(self.get_filename_from_prefix(file_prefix))
-        plt.close()
+        def _render(losses=losses, fname=fname, key="__optuna__" + file_prefix):
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            state = self._hist_state.get(key)
+            if state is None:
+                fig, ax = plt.subplots()
+                (line,) = ax.plot(losses, ".")
+                ax.set_xlabel("trial")
+                ax.set_ylabel("objective")
+                state = {"fig": fig, "ax": ax, "lines": {"": line}}
+                self._hist_state[key] = state
+            else:
+                state["lines"][""].set_data(np.arange(losses.size), losses)
+                state["ax"].relim()
+                state["ax"].autoscale_view()
+            state["fig"].savefig(fname)
+
+        self._enqueue(_render)

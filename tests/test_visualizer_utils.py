@@ -382,3 +382,14 @@ class TestEventRenderBincount:
         import cv2
         got = cv2.imread(str(tmp_path / "binc0.png"), cv2.IMREAD_GRAYSCALE)
         np.testing.assert_array_equal(got, expect)
+
+    def test_optuna_history_persistent_matches_fresh(self, tmp_path):
+        va = Visualizer((24, 32), save=True, show=False,
+                        save_dir=str(tmp_path / "a"))
+        va.visualize_optuna_history(np.linspace(5, 1, 30))
+        va.visualize_optuna_history(np.linspace(4, 0.5, 45))  # update path
+        vb = Visualizer((24, 32), save=True, show=False,
+                        save_dir=str(tmp_path / "b"))
+        vb.visualize_optuna_history(np.linspace(4, 0.5, 45))  # fresh figure
+        assert ((tmp_path / "a" / "sampler_history1.png").read_bytes()
+                == (tmp_path / "b" / "sampler_history0.png").read_bytes())
