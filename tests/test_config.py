@@ -66,3 +66,52 @@ class TestPropagateConfig:
                                     "overlap": [8]}, cfg["common_params"],
                                    "/tmp")
         assert full.roi is None
+
+
+REFERENCE_CONFIG = "/root/reference/configs/hot_plate1.yaml"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REFERENCE_CONFIG),
+                    reason="reference tree not mounted")
+class TestReferenceConfigVerbatim:
+    """Migration gate: the reference's own shipped benchmark config loads
+    through this framework's config pipeline and constructs the solver
+    facade unmodified (a reference user can point the CLI at their existing
+    YAML; only `data.root` needs to exist)."""
+
+    def _load(self):
+        with open(REFERENCE_CONFIG) as f:
+            cfg = yaml.safe_load(f)
+        propagate_config(cfg)
+        return cfg
+
+    def test_propagates_without_error(self):
+        cfg = self._load()
+        # the reference benchmark's documented geometry (hot_plate1.yaml)
+        assert cfg["data"]["height"] == 720 and cfg["data"]["width"] == 1280
+        assert cfg["solver"]["method"] == "patch_eklt_pyramid2"
+        assert cfg["solver"]["optimizer"]["n_iter"] == 600
+        # ROI propagation matches our own schema
+        assert cfg["solver"]["pad_y0"] == cfg["common_params"]["ymin"]
+        assert cfg["data"]["crop_width"] == (cfg["common_params"]["ymax"]
+                                             - cfg["common_params"]["ymin"])
+
+    def test_constructs_solver_facade(self):
+        from event_based_bos_tpu import solver
+
+        cfg = self._load()
+        cfg["solver"].setdefault("flow_convention", "reference")
+        solv = solver.collections[cfg["solver"]["method"]](
+            (cfg["data"]["height"], cfg["data"]["width"]),
+            (cfg["data"]["crop_height"], cfg["data"]["crop_width"]),
+            calibration_parameter={},
+            solver_config=cfg["solver"], visualize_module=None)
+        # the spec the solve runs with reflects the reference's YAML values;
+        # hot_plate1.yaml omits the pyramid patch range — the reference
+        # hardcodes 64->8 (patch_eklt_pyramid2.py:49) and the facade must
+        # default identically
+        assert solv.spec.n_iter == 600
+        assert solv.spec.coarsest_patch == 64
+        assert solv.spec.finest_patch == 8
+        assert solv.spec.gen.iwe_sigma == \
+            cfg["solver"]["generative_ml"]["iwe_sigma"]
