@@ -4,8 +4,15 @@ The reference accumulates bilinear votes with ``np.add.at`` /
 ``scatter_add_`` (``event_image_converter.py:503-620``); the XLA port in
 :mod:`event_based_bos_tpu.ops.iwe` expresses it as a 4-corner
 ``image.at[idx].add`` scatter, which TPUs execute as serialized
-random-access updates (15.7 ms for the 0.52 M-event signed polarity cache
-at 720×1280 on v5e; this kernel: 7.4 ms — `docs/performance.md` §micro).
+random-access updates (14.2 ms for the 0.52 M-event signed polarity cache
+at 720×1280; this kernel: 4.1 ms — `docs/performance.md` §micro).
+
+Caveat: the isolated 3.4× win does NOT survive embedding — inside the
+full jitted frame solve the same program measures ~10 ms/frame *slower*
+than the scatter (stable across interleaved A/B orders and chunk sizes
+512–2048; the remote backend offers no profiler to attribute it).  The
+kernel is therefore opt-in (``GenerativeSpec.pallas_iwe``), for
+standalone vote/cache programs where the isolated win is real.
 
 This kernel removes the random access entirely by reformulating the vote
 as a *dense rank-factored matmul*.  For an event at ``(x, y)`` with value
@@ -33,7 +40,7 @@ available; with it fractional (warped) coordinates incur hat rounding
 bounded by 2⁻⁹ relative per vote.
 
 Used by :func:`event_based_bos_tpu.solver.generative.polarity_votes` /
-``iwe_cache`` when ``GenerativeSpec.pallas_iwe`` resolves to True.
+``iwe_cache`` when ``GenerativeSpec.pallas_iwe`` is set True.
 """
 
 from __future__ import annotations

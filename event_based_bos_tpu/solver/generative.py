@@ -120,10 +120,13 @@ class GenerativeSpec:
     warp_compute_bf16: bool = False
     # Compute the per-frame polarity vote with the Pallas hat-matmul kernel
     # (:mod:`event_based_bos_tpu.ops.iwe_pallas`) instead of the XLA
-    # 4-corner scatter.  Bit-exact for integer sensor coordinates and 2.1×
-    # faster at benchmark scale (7.4 vs 15.7 ms, `docs/performance.md`
-    # §micro).  None = auto: on when running on a TPU backend (the kernel
-    # does not lower on CPU outside interpret mode).
+    # 4-corner scatter.  Bit-exact for integer sensor coordinates and ~3.4×
+    # faster *in isolation* (4.1 vs 14.2 ms at benchmark scale), but embedded
+    # in the full jitted frame solve it measures ~10 ms SLOWER end-to-end
+    # (`docs/performance.md` §micro) — so the default (None) resolves to the
+    # scatter.  Kept opt-in for standalone vote/cache programs, where the
+    # isolated win is real.  (The kernel does not lower on CPU outside
+    # interpret mode.)
     pallas_iwe: Optional[bool] = None
 
     @property
@@ -196,16 +199,16 @@ def iwe_cache(ev: Events, spec: GenerativeSpec):
     (or ``pos + neg`` for ``no_polarity``) directly, mathematically
     identical at half the scatter cost.
 
-    On TPU (``spec.pallas_iwe`` auto/True) the signed vote runs as the
-    Pallas hat-matmul kernel — bit-exact vs the scatter for the integer
-    sensor coordinates this cache always sees, 2.1× faster at 720×1280
-    (equivalence: ``tests/test_pallas_kernel.py``).
+    With ``spec.pallas_iwe=True`` the signed vote runs as the Pallas
+    hat-matmul kernel — bit-exact vs the scatter for the integer sensor
+    coordinates this cache always sees (equivalence:
+    ``tests/test_pallas_kernel.py``) and ~3.4× faster in isolation, but
+    measured ~10 ms/frame slower when embedded in the full jitted solve
+    (`docs/performance.md` §micro), so the default is the scatter.
     """
     from ..ops.iwe import bilinear_vote
 
-    use_pallas = spec.pallas_iwe
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = bool(spec.pallas_iwe)
 
     ev = ev.astype(spec.dtype)
     if use_pallas:
