@@ -352,18 +352,37 @@ def evaluate_per_frames(config, loader, solv, viz):
                 work["filtered"], work["gt_flow"], frame=work["im1"],
                 background=im0, frame_time=work["t1"])
             dev_flow = getattr(handle, "device_flow", None)
+            ts = work["batch_time_scale"]
+            scale = (work["t2"] - work["t1"]) / ts if ts else 1.0
+            if dev_flow is not None and "fwl" in eval_config.get(
+                    "metrics", []):
+                # FWL rides right behind the solve too (same finalize-side
+                # latency/re-upload problem as the error pair)
+                handle.fwl_fetch = solv.calculate_fwl_async(
+                    work["filtered"], dev_flow, scale)
             if solv.visualizer is not None and dev_flow is not None:
                 # dispatch the render bundle right behind the solve and
                 # start its host copies — the ~9 MB of render planes then
                 # cross the tunnel while the previous frame's PNGs encode,
                 # instead of blocking finalize (render_bundle_async)
-                ts = work["batch_time_scale"]
-                scale = (work["t2"] - work["t1"]) / ts if ts else 1.0
                 handle.bundle_fetch = solv.render_bundle_async(
                     work["filtered"], None, work["gt_flow"],
                     est_device=dev_flow, est_scale=scale,
                     err_crop=(common["xmin"], common["xmax"],
                               common["ymin"], common["ymax"]))
+            elif dev_flow is not None:
+                # serving mode: the error pair rides right behind the solve
+                # too — dispatched in finalize instead, it would re-upload
+                # both flow crops AND queue behind the NEXT frame's already
+                # enqueued solve in the pipelined loop (≈ a full extra solve
+                # of latency per frame).  getattr: probes A/B the loop by
+                # nulling the method (tools/throughput_probe.py --err-ab)
+                pair_async = getattr(solv, "flow_errors_async", None)
+                if pair_async is not None:
+                    handle.errors_fetch = pair_async(
+                        work["filtered"], work["gt_flow"], dev_flow,
+                        (common["xmin"], common["xmax"],
+                         common["ymin"], common["ymax"]))
         return handle
 
     def finalize(work, handle, i_frame):
@@ -420,8 +439,13 @@ def evaluate_per_frames(config, loader, solv, viz):
                     polar=b["polar_gt"])
 
         with _section("finalize/errors"):
+            err_fetch = getattr(handle, "errors_fetch", None)
             if errors is not None:
                 err_nomask, err_mask = errors
+            elif err_fetch is not None:
+                # pre-dispatched behind the solve (dispatch stage); the
+                # scalars have already pre-copied by now
+                err_nomask, err_mask = err_fetch()
             else:
                 est_c = estimation[:, common["xmin"]:common["xmax"],
                                    common["ymin"]:common["ymax"]]
@@ -437,7 +461,9 @@ def evaluate_per_frames(config, loader, solv, viz):
             # Flow Warp Loss (Stoffregen 2020): the reference declares
             # this metric but its implementation is dead
             # (``base.py:319-340``); it works here.
-            fwl = solv.calculate_fwl(est_scaled, filtered)
+            fwl_fetch = getattr(handle, "fwl_fetch", None)
+            fwl = (fwl_fetch() if fwl_fetch is not None
+                   else solv.calculate_fwl(est_scaled, filtered))
             solv.save_flow_error_as_text(i_frame, fwl, "fwl_per_frame.txt")
         solv.save_flow_error_as_text(i_frame, {"t1": t1, "t2": t2},
                                      "timestamps_per_frame.txt")

@@ -64,14 +64,31 @@ def _jit_eventmask(image_shape):
     return jax.jit(lambda ev: create_eventmask(ev, image_shape))
 
 
+def _fwl(ev: Events, flow: jax.Array, image_shape,
+         normalize_t: bool) -> jax.Array:
+    iwe_orig = create_image_from_events(ev, image_shape, sigma=1)
+    warped = warp_event(ev, flow, "dense-flow", direction="middle",
+                        normalize_t=normalize_t)
+    iwe = create_image_from_events(warped, image_shape, sigma=1)
+    return normalized_image_variance({"orig_iwe": iwe_orig, "iwe": iwe})
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_fwl(image_shape, normalize_t: bool):
     def f(ev: Events, flow: jax.Array) -> jax.Array:
-        iwe_orig = create_image_from_events(ev, image_shape, sigma=1)
-        warped = warp_event(ev, flow, "dense-flow", direction="middle",
-                            normalize_t=normalize_t)
-        iwe = create_image_from_events(warped, image_shape, sigma=1)
-        return normalized_image_variance({"orig_iwe": iwe_orig, "iwe": iwe})
+        return _fwl(ev, flow, image_shape, normalize_t)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwl_device(image_shape, normalize_t: bool, dtype):
+    """FWL from the solve's device-resident UNORIENTED flow: ``scale``
+    folds the GT-window time rescale and the output-orientation sign on
+    device (see :meth:`SolverBase.calculate_fwl_async`)."""
+    def f(ev: Events, est, scale: jax.Array) -> jax.Array:
+        flow = (est.astype(jnp.float32) * scale).astype(dtype)
+        return _fwl(ev, flow, image_shape, normalize_t)
 
     return jax.jit(f)
 
@@ -162,6 +179,27 @@ def _jit_flow_error_pair(image_shape, crop):
         mask = create_eventmask(ev, image_shape)[:, x0:x1, y0:y1]
         return (calculate_flow_error(gt, pred),
                 calculate_flow_error(gt, pred, event_mask=mask[None]))
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_flow_error_pair_device(image_shape, crop):
+    """Serving-mode twin of the :func:`_jit_render_bundle` error branch:
+    the (unmasked, event-masked) pair computed from the solve's
+    device-resident flow.  Dispatched right behind the solve (see
+    :meth:`SolverBase.flow_errors_async`), so in the pipelined loop its
+    round trip overlaps the solve instead of queueing behind the *next*
+    frame's solve, and the ~7.4 MB pred/gt re-upload the host-flow path
+    pays (``_jit_flow_error_pair``) shrinks to the cropped GT alone."""
+    x0, x1, y0, y1 = crop
+
+    def f(ev: Events, est, gt_c, err_scale):
+        mask = create_eventmask(ev, image_shape)[:, x0:x1, y0:y1]
+        pred_c = (est.astype(jnp.float32) * err_scale)[None, :, x0:x1, y0:y1]
+        g = gt_c.astype(jnp.float32)[None]
+        return (calculate_flow_error(g, pred_c),
+                calculate_flow_error(g, pred_c, event_mask=mask[None]))
 
     return jax.jit(f)
 
@@ -471,6 +509,54 @@ class SolverBase:
         logger.info("flow_error = %s", out[1])
         return out
 
+    def flow_errors_async(self, events, gt_flow, est_device, crop):
+        """Dispatch the per-frame (unmasked, event-masked) error pair right
+        behind the solve, from the solve's device-resident UNORIENTED flow
+        (``EstimationHandle.device_flow``); returns ``fetch() -> tuple``.
+
+        The serving loop (``visualize: false``) otherwise computes the pair
+        synchronously in finalize via :meth:`calculate_flow_errors`, which
+        (a) re-uploads both cropped flows (~7.4 MB/frame over the remote
+        tunnel) and (b) — in the pipelined loop, where the *next* frame's
+        solve is already enqueued by finalize time — waits nearly a full
+        solve for its program to reach the front of the device queue.
+        Dispatched here the pair executes immediately after its own frame's
+        solve and its scalars pre-copy asynchronously, exactly like the
+        visualize-mode render bundle's error branch (which this mirrors:
+        same crop, same on-device orientation sign, same symmetric
+        ``flow_fetch_dtype`` cast of the GT upload).
+
+        Semantics match :meth:`calculate_flow_errors` on the ROI-cropped
+        oriented flow: bit-identical with float32 fetches; with
+        ``flow_fetch_dtype: float16`` the GT upload (like the bundle's)
+        and the pred rounding carry f16 precision (error-text deltas
+        ~1e-3 px — docs/performance.md §end-to-end).
+        """
+        ev = self._to_events(events)
+        sign = -1.0 if self.flow_convention == "physical" else 1.0
+        x0, x1, y0, y1 = crop
+        gt_c = np.asarray(gt_flow)[:, x0:x1, y0:y1]
+        if getattr(self, "_fetch_dtype", None) is not None:
+            gt_c = np.asarray(gt_c, self._fetch_dtype)
+        out = _jit_flow_error_pair_device(
+            self.orig_image_shape, tuple(crop))(
+            ev, est_device, jnp.asarray(gt_c),
+            jnp.asarray(sign, jnp.float32))
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - non-array leaf
+                pass
+
+        def fetch() -> tuple:
+            host = jax.device_get(out)
+            errs = tuple({k: float(v) for k, v in d.items()} for d in host)
+            logger.info("flow_error = %s", errs[0])
+            logger.info("flow_error = %s", errs[1])
+            return errs
+
+        return fetch
+
     def calculate_flow_error(self, pred_disp, gt_flow, timescale: float = 1.0,
                              events=None, roi: Optional[dict] = None) -> dict:
         """Masked EPE/NPE/AE (``base.py:289-317``)."""
@@ -498,6 +584,29 @@ class SolverBase:
         fwl = _jit_fwl(self.orig_image_shape, bool(self.normalize_t_in_batch))(
             ev, jnp.asarray(flow, self.dtype))
         return {"FWL": float(fwl)}
+
+    def calculate_fwl_async(self, events, est_device, scale):
+        """Pre-dispatched :meth:`calculate_fwl` from the solve's
+        device-resident UNORIENTED flow (``EstimationHandle.device_flow``);
+        returns ``fetch() -> dict``.
+
+        Like :meth:`flow_errors_async`: dispatched right behind the solve
+        the FWL program executes immediately after it (instead of queueing
+        behind the *next* frame's solve in the pipelined loop) and skips
+        the ~7.4 MB ``est_scaled`` re-upload — the GT-window time rescale
+        and the orientation sign fold on device.  Values are bit-identical
+        (±1 sign and f32 scale multiplications commute exactly).
+        """
+        ev = self._to_events(events)
+        sign = -1.0 if self.flow_convention == "physical" else 1.0
+        out = _jit_fwl_device(self.orig_image_shape,
+                              bool(self.normalize_t_in_batch), self.dtype)(
+            ev, est_device, jnp.asarray(float(scale) * sign, jnp.float32))
+        try:
+            out.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-array impl
+            pass
+        return lambda: {"FWL": float(jax.device_get(out))}
 
     def save_flow_error_as_text(self, nth_frame: int, flow_error_dict: dict,
                                 fname: str = "flow_error_per_frame.txt"):

@@ -190,6 +190,36 @@ def test_serving_mode_no_visuals(tiny_config, tmp_path):
                                       np.load(os.path.join(out_dir, f)))
 
 
+def test_serving_error_pair_predispatch_engages(tiny_config, tmp_path,
+                                                monkeypatch):
+    """In serving mode with a device-flow facade the error pair is
+    dispatched right behind the solve (``flow_errors_async``) — the
+    synchronous finalize-side fallback (``calculate_flow_errors``, which
+    re-uploads both flow crops and queues behind the next frame's solve in
+    the pipelined loop) must never run."""
+    from event_based_bos_tpu.solver.api import SolverBase
+
+    def _fail(self, *a, **k):  # pragma: no cover - the assertion itself
+        raise AssertionError("serving loop fell back to the synchronous "
+                             "finalize-side error pair")
+
+    monkeypatch.setattr(SolverBase, "calculate_flow_errors", _fail)
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["visualize"] = False
+    cfg["pipeline"] = True
+    out = str(tmp_path / "out_predispatch")
+    cfg["output_dir"] = out
+    p = tmp_path / "predispatch.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "warning"])
+    assert rc == 0
+    for fname in ("flow_error_per_frame_without_mask.txt",
+                  "flow_error_per_frame_with_mask.txt"):
+        txt = open(os.path.join(out, fname)).read()
+        assert txt.count("frame ") >= 1, fname
+
+
 def test_serving_wire_mode_bit_identical(tiny_config, tmp_path):
     """`quantized_upload` + `flow_fetch_dtype: float16` through the full
     CLI: the quantized upload is bit-exact (integer-coordinate synthetic

@@ -662,3 +662,54 @@ def test_render_bundle_folded_errors_match_standalone(scene):
                 assert abs(got_d[k] - want_d[k]) <= 1e-5 * (
                     1.0 + abs(want_d[k])), (dev is None, k, got_d[k],
                                             want_d[k])
+
+
+@pytest.mark.parametrize("convention", ["reference", "physical"])
+def test_flow_errors_async_matches_standalone(scene, convention):
+    """The serving-mode pre-dispatched error pair
+    (:meth:`SolverBase.flow_errors_async`, computed from the solve's
+    device-resident unoriented flow with the orientation sign applied on
+    device) must equal the standalone :meth:`calculate_flow_errors`
+    dispatch on the host-oriented ROI-cropped flow."""
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["flow_convention"] = convention
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    filtered, _ = solv.preprocess(events)
+    handle = solv.estimate_async(filtered, None, frame=I1, background=I1)
+    estimation = handle.result()  # host-oriented float32 flow
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(-1, 1, (2, H, W)).astype(np.float32)
+    crop = (4, H - 4, 8, W - 8)
+    roi = {"xmin": crop[0], "xmax": crop[1], "ymin": crop[2],
+           "ymax": crop[3]}
+    want = solv.calculate_flow_errors(
+        estimation[:, crop[0]:crop[1], crop[2]:crop[3]],
+        gt[:, crop[0]:crop[1], crop[2]:crop[3]], filtered, roi)
+    got = solv.flow_errors_async(filtered, gt, handle.device_flow, crop)()
+    for got_d, want_d in zip(got, want):
+        assert set(got_d) == set(want_d)
+        for k in want_d:
+            assert abs(got_d[k] - want_d[k]) <= 1e-6 * (
+                1.0 + abs(want_d[k])), (convention, k, got_d[k], want_d[k])
+
+
+@pytest.mark.parametrize("convention", ["reference", "physical"])
+def test_calculate_fwl_async_matches_standalone(scene, convention):
+    """The pre-dispatched FWL (:meth:`SolverBase.calculate_fwl_async`, from
+    the device-resident unoriented flow with the time rescale and the
+    orientation sign folded on device) must equal :meth:`calculate_fwl` on
+    the host-oriented scaled flow."""
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["flow_convention"] = convention
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    filtered, _ = solv.preprocess(events)
+    handle = solv.estimate_async(filtered, None, frame=I1, background=I1)
+    estimation = handle.result()  # host-oriented float32 flow
+    scale = 1.7
+    want = solv.calculate_fwl(estimation * scale, filtered)["FWL"]
+    got = solv.calculate_fwl_async(filtered, handle.device_flow,
+                                   scale)()["FWL"]
+    assert abs(got - want) <= 1e-6 * (1.0 + abs(want)), (convention, got,
+                                                         want)

@@ -152,6 +152,30 @@ def main():
             "frames": serve_f["frames"]}))
         sys.stdout.flush()
         os._exit(0)
+    if "--err-ab" in sys.argv:
+        # interleaved A/B of the serving loop's error-pair placement:
+        # pre-dispatched behind the solve (flow_errors_async) vs the
+        # synchronous finalize-side dispatch (calculate_flow_errors, which
+        # re-uploads both flow crops and queues behind the next frame's
+        # solve).  Nulling the method makes the CLI take the fallback.
+        from event_based_bos_tpu.solver import api as solver_api
+
+        orig = solver_api.SolverBase.flow_errors_async
+        run_once(True, 2, small, serve=True)  # warm compiles
+        out = {}
+        for rep in (1, 2):
+            for tag, on in (("pre", True), ("sync", False)):
+                solver_api.SolverBase.flow_errors_async = (
+                    orig if on else None)
+                r = run_once(True, n_frames, small, serve=True)
+                out[f"serving_{tag}{rep}_steady"] = round(
+                    r["steady_s_per_frame"], 3)
+                out[f"serving_{tag}{rep}_wall"] = round(
+                    r["s_per_frame"], 3)
+        solver_api.SolverBase.flow_errors_async = orig
+        print(json.dumps(out))
+        sys.stdout.flush()
+        os._exit(0)
     if "--seq-mesh-only" in sys.argv:
         # sequential-mesh serving on one lane: measures the segmented
         # loop's built-in produce‖solve overlap at the full scale
