@@ -7,12 +7,17 @@ The reference accumulates bilinear votes with ``np.add.at`` /
 random-access updates (14.2 ms for the 0.52 M-event signed polarity cache
 at 720×1280; this kernel: 4.1 ms — `docs/performance.md` §micro).
 
-Caveat: the isolated 3.4× win does NOT survive embedding — inside the
-full jitted frame solve the same program measures ~10 ms/frame *slower*
-than the scatter (stable across interleaved A/B orders and chunk sizes
-512–2048; the remote backend offers no profiler to attribute it).  The
-kernel is therefore opt-in (``GenerativeSpec.pallas_iwe``), for
-standalone vote/cache programs where the isolated win is real.
+Where the win ships (round 5): the isolated 3.4× does NOT survive
+embedding — inside the one big jitted frame solve the same program
+measures ~10 ms/frame *slower* than the scatter (the Pallas custom call
+blocks XLA fusion/scheduling around it).  Dispatched as its OWN small
+program feeding the solve (``solver.pyramid.estimate_frame``'s ``cache``
+input — the histogram is a once-per-frame constant), the kernel wins for
+real: 171.5 → 163.0 ms/frame at the benchmark, cache program 14.3 → 6.2 ms
+(``tools/iwe_split_probe.py``, interleaved A/B; bit-identical flows).
+The pyramid facade's ``split_iwe_cache: auto`` therefore defaults to this
+split-Pallas path on TPU; ``GenerativeSpec.pallas_iwe`` stays the per-spec
+switch (``docs/performance.md`` §dispatch split).
 
 This kernel removes the random access entirely by reformulating the vote
 as a *dense rank-factored matmul*.  For an event at ``(x, y)`` with value

@@ -120,13 +120,14 @@ class GenerativeSpec:
     warp_compute_bf16: bool = False
     # Compute the per-frame polarity vote with the Pallas hat-matmul kernel
     # (:mod:`event_based_bos_tpu.ops.iwe_pallas`) instead of the XLA
-    # 4-corner scatter.  Bit-exact for integer sensor coordinates and ~3.4×
-    # faster *in isolation* (4.1 vs 14.2 ms at benchmark scale), but embedded
-    # in the full jitted frame solve it measures ~10 ms SLOWER end-to-end
-    # (`docs/performance.md` §micro) — so the default (None) resolves to the
-    # scatter.  Kept opt-in for standalone vote/cache programs, where the
-    # isolated win is real.  (The kernel does not lower on CPU outside
-    # interpret mode.)
+    # 4-corner scatter.  Bit-exact for integer sensor coordinates; 14.3 →
+    # 6.2 ms at benchmark scale as a standalone cache program, but ~10 ms
+    # SLOWER when embedded in the one big jitted solve (the custom call
+    # blocks fusion around it) — so the default (None) resolves to the
+    # scatter HERE, and the pyramid facade instead dispatches the cache as
+    # its own program with this kernel on TPU (``split_iwe_cache: auto``,
+    # 171.5 → 163.0 ms/frame — `docs/performance.md` §dispatch split).
+    # (The kernel does not lower on CPU outside interpret mode.)
     pallas_iwe: Optional[bool] = None
 
     @property
@@ -202,9 +203,12 @@ def iwe_cache(ev: Events, spec: GenerativeSpec):
     With ``spec.pallas_iwe=True`` the signed vote runs as the Pallas
     hat-matmul kernel — bit-exact vs the scatter for the integer sensor
     coordinates this cache always sees (equivalence:
-    ``tests/test_pallas_kernel.py``) and ~3.4× faster in isolation, but
-    measured ~10 ms/frame slower when embedded in the full jitted solve
-    (`docs/performance.md` §micro), so the default is the scatter.
+    ``tests/test_pallas_kernel.py``, and on real hardware every round in
+    ``bench.py``) and 2.3× faster as a standalone cache program; the
+    pyramid facade jits exactly that standalone program on TPU
+    (``split_iwe_cache: auto`` — `docs/performance.md` §dispatch split).
+    Embedded in one big solve program the kernel is slower than the
+    scatter, so the in-solve default stays the scatter.
     """
     from ..ops.iwe import bilinear_vote
 

@@ -337,18 +337,30 @@ def estimate_frame(
     prev_params: Optional[List[jax.Array]] = None,
     init_params: Optional[jax.Array] = None,
     lr: Optional[jax.Array] = None,
+    cache: Optional[Tuple[jax.Array, ...]] = None,
 ):
     """Whole per-frame solve: gradients + IWE cache + pyramid optimization.
 
     This is the function to ``jax.jit`` (everything inside is shape-static
     for a fixed event capacity).  Mirrors ``PatchEkltPyramid2.estimate``
     (``patch_eklt_pyramid2.py:134-191``) minus host-side visualization.
+
+    ``cache`` optionally supplies a precomputed IWE cache — the
+    ``(histogram, weights, weight_inverse)`` triple of
+    :func:`.generative.iwe_cache` / :func:`iwe_cache_program` — in which
+    case the events are unused (XLA drops the dead input).  The events
+    enter the solve ONLY through this once-per-frame constant
+    (SURVEY.md §3.2), so splitting the cache into its own pre-dispatched
+    device program is semantically free; it is where the Pallas hat-matmul
+    vote kernel's isolated 3.4× win is real (the same kernel *embedded*
+    in this program measures slower — ``docs/performance.md`` §micro).
     """
     gen = spec.gen
     frame = frame.astype(gen.dtype)
     gx, gy = frame_gradients(frame, ksize=gen.sobel_ksize,
                              use_log_intensity=gen.use_log_intensity)
-    hist, weights, weight_inverse = iwe_cache(ev, gen)
+    hist, weights, weight_inverse = (cache if cache is not None
+                                     else iwe_cache(ev, gen))
     if spec.n_restarts > 1 and init_params is None and prev_params is None:
         # Multi-start quality mode: run the solve over R restart keys, keep
         # the restart whose finest scale reached the lowest loss (the IWE

