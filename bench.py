@@ -69,11 +69,19 @@ def make_workload(seed=0):
 
 
 def measure_tpu(events, frame, repeats=5):
+    """Per-frame solve on the SHIPPING path: the IWE cache dispatched as its
+    own Pallas-vote program feeding the solve (``split_iwe_cache: auto`` on
+    TPU — flows are bit-identical to the fused scatter, measured 171.5 →
+    163.0 ms/frame; ``docs/performance.md`` §dispatch split)."""
+    import dataclasses
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from event_based_bos_tpu import events_from_ndarray
     from event_based_bos_tpu.solver import GenerativeSpec, PyramidSpec
+    from event_based_bos_tpu.solver.generative import iwe_cache
     from event_based_bos_tpu.solver.pyramid import estimate_frame, roi_mask
 
     gen = GenerativeSpec(image_size=(H, W), iwe_sigma=2.0,
@@ -86,10 +94,10 @@ def measure_tpu(events, frame, repeats=5):
     mask = jnp.asarray(roi_mask(spec))
     key = jax.random.PRNGKey(0)
 
-    import functools
-
+    cache_fn = jax.jit(functools.partial(
+        iwe_cache, spec=dataclasses.replace(gen, pallas_iwe=True)))
     fn = jax.jit(functools.partial(estimate_frame, spec=spec))
-    flow, _aux = fn(ev, fr, mask, key)  # compile
+    flow, _aux = fn(ev, fr, mask, key, cache=cache_fn(ev))  # compile
     _ = float(flow.sum())  # NOTE: on the axon remote backend
     # block_until_ready does not actually synchronize; a scalar device→host
     # fetch is the only reliable barrier.  Subtract its round-trip latency.
@@ -101,7 +109,7 @@ def measure_tpu(events, frame, repeats=5):
     for i in range(repeats):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        flow, _aux = fn(ev, fr, mask, k)
+        flow, _aux = fn(ev, fr, mask, k, cache=cache_fn(ev))
         _ = float(flow.sum())
         times.append(time.perf_counter() - t0 - fetch_s)
     return float(max(np.median(times), 1e-9)), flow
@@ -132,6 +140,102 @@ def measure_iwe_throughput(events, repeats=10):
     _ = float(out.sum())
     dt = max((time.perf_counter() - t0 - fetch_s) / repeats, 1e-9)
     return CAPACITY / dt
+
+
+def check_pallas_on_chip(events):
+    """On-chip Pallas equivalence gate (VERDICT r4 #2).
+
+    CI runs the Pallas kernels only in interpreter mode on CPU
+    (``tests/conftest.py`` pins the platform), so a Mosaic regression would
+    silently invalidate the kernels' claims.  This runs on the REAL chip in
+    the driver-captured bench path every round and fails loudly:
+
+      * hat-matmul signed vote (``ops/iwe_pallas.py``) must be BIT-EXACT vs
+        the XLA scatter on integer sensor coordinates;
+      * the fused CMax stencil kernel (``ops/cmax_pallas.py``) fwd + VJP
+        must match the jnp stencil-warp reference within f32 tolerance.
+
+    Returns the timings/deltas for the bench JSON tail.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from event_based_bos_tpu import events_from_ndarray
+    from event_based_bos_tpu.ops.cmax_pallas import binned_warp_accumulate
+    from event_based_bos_tpu.ops.image_warp import warp_image_stencil
+    from event_based_bos_tpu.ops.iwe import bilinear_vote
+    from event_based_bos_tpu.ops.iwe_pallas import signed_vote_pallas
+
+    ev = events_from_ndarray(events, capacity=CAPACITY)
+
+    def scatter_vote(e):
+        sign = jnp.where(e.p > 0, jnp.asarray(1, jnp.float32),
+                         jnp.asarray(-1, jnp.float32))
+        return bilinear_vote(e, (H, W), weight=sign)
+
+    f_scatter = jax.jit(scatter_vote)
+    f_pallas = jax.jit(lambda e: signed_vote_pallas(e, (H, W)))
+    a = f_scatter(ev)
+    b = f_pallas(ev)
+    vote_max_diff = float(jnp.max(jnp.abs(a - b)))
+    vote_bitexact = bool(jnp.all(a == b))
+    assert vote_bitexact, (
+        f"Pallas hat-matmul vote differs from the XLA scatter on-chip "
+        f"(max|Δ|={vote_max_diff:.3e}) — Mosaic regression?")
+
+    def timeit(fn, *args, n=8):
+        out = fn(*args)
+        _ = float(out.sum())
+        t0 = time.perf_counter()
+        _ = float(out.sum())
+        fetch_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _ = float(out.sum())
+        return max((time.perf_counter() - t0 - fetch_s) / n, 1e-9)
+
+    vote_scatter_ms = timeit(f_scatter, ev) * 1e3
+    vote_pallas_ms = timeit(f_pallas, ev) * 1e3
+
+    # CMax fused kernel fwd/VJP vs the jnp stencil reference (small box —
+    # this is a correctness gate, the perf numbers live in docs)
+    rng = np.random.default_rng(0)
+    hists = jnp.asarray(rng.random((8, 128, 256)), jnp.float32)
+    flow = jnp.asarray(rng.normal(0, 0.8, (2, 128, 256)), jnp.float32)
+    dts = jnp.asarray(np.linspace(-0.5, 0.5, 8), jnp.float32)
+    g = jnp.asarray(rng.random((128, 256)), jnp.float32)
+    radius = 2
+
+    def jnp_ref(fl):
+        def one(hb, d):
+            return warp_image_stencil(hb, -d * fl, radius)
+        return jnp.sum(jax.vmap(one)(hists, dts), axis=0)
+
+    def loss_p(fl):
+        return jnp.sum(binned_warp_accumulate(hists, fl, dts, radius) * g)
+
+    def loss_r(fl):
+        return jnp.sum(jnp_ref(fl) * g)
+
+    fwd_p = jax.jit(lambda fl: binned_warp_accumulate(hists, fl, dts,
+                                                      radius))(flow)
+    fwd_r = jax.jit(jnp_ref)(flow)
+    cmax_fwd_rel = float(jnp.max(jnp.abs(fwd_p - fwd_r))
+                         / (jnp.max(jnp.abs(fwd_r)) + 1e-12))
+    gp = jax.jit(jax.grad(loss_p))(flow)
+    gr = jax.jit(jax.grad(loss_r))(flow)
+    cmax_vjp_rel = float(jnp.max(jnp.abs(gp - gr))
+                         / (jnp.max(jnp.abs(gr)) + 1e-12))
+    assert cmax_fwd_rel < 1e-5, f"cmax_pallas fwd drift {cmax_fwd_rel:.3e}"
+    assert cmax_vjp_rel < 1e-5, f"cmax_pallas VJP drift {cmax_vjp_rel:.3e}"
+    return {
+        "vote_bitexact": vote_bitexact,
+        "vote_scatter_ms": round(vote_scatter_ms, 2),
+        "vote_pallas_ms": round(vote_pallas_ms, 2),
+        "cmax_fwd_rel": cmax_fwd_rel,
+        "cmax_vjp_rel": cmax_vjp_rel,
+    }
 
 
 def measure_reference_baseline(events, frame):
@@ -222,11 +326,13 @@ def main():
     tpu_s, flow = measure_tpu(events, frame)
     epe = accuracy_epe(flow, gt_flow)
     ev_rate = measure_iwe_throughput(events)
+    pallas_gate = check_pallas_on_chip(events)
     baseline_s = measure_reference_baseline(events, frame)
     vs = (baseline_s / tpu_s) if baseline_s else None
     print(f"IWE kernel: {ev_rate/1e6:.1f} Mev/s; per-frame {tpu_s*1e3:.1f} ms; "
           f"EPE vs synthetic GT {epe:.3f} px; reference baseline "
-          f"{baseline_s if baseline_s else float('nan'):.1f} s",
+          f"{baseline_s if baseline_s else float('nan'):.1f} s; "
+          f"pallas gate {pallas_gate}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "hot_plate1-scale per-frame pyramid flow solve (720x1280, 600 iters)",
@@ -234,6 +340,7 @@ def main():
         "unit": "ms/frame",
         "vs_baseline": round(vs, 1) if vs else None,
         "epe_vs_synthetic_gt_px": round(epe, 4),
+        "pallas_on_chip": pallas_gate,
     }))
 
 
