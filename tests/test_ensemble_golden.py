@@ -89,6 +89,71 @@ def test_summary_consistent_with_runs():
         assert by_v[key]["n"] >= expected
 
 
+RECIPE_GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                             "recipe_parity.json")
+RECIPE_EXPECTED_CHAINS = 6   # scenes {0,1,2} × init keys {0,1} per regime
+
+
+@pytest.mark.parametrize("variant", ["bench", "slow", "strong", "sparse"])
+def test_recipe_not_worse_than_parity_per_regime(variant):
+    """Production-recipe certification across regimes (VERDICT r4 #3).
+
+    ``tools/ensemble_parity.py --recipe`` runs self-paired sequences on the
+    TPU: a parity chain (every frame cold at n_iter 600, full-frame
+    objective — the configuration the reference-paired ensemble certified)
+    vs the recipe chain (``restrict_to_roi`` + ``warm_start`` +
+    ``steady_n_iter: 300``, ``docs/performance.md`` §production recipe).
+    Acceptance is ONE-SIDED: per regime the mean paired steady-frame EPE
+    difference (recipe − parity) must not exceed +0.02 px.  Where the two
+    distributions are distinguishable at α = 0.05 the direction must favor
+    the recipe — the committed study found exactly that in the slow and
+    sparse regimes (−0.042 / −0.022 px: warm-started chains beat
+    independent cold solves where the signal is weak or noisy), which is a
+    win to keep, not drift to reject.
+    """
+    from scipy import stats
+
+    with open(RECIPE_GOLDEN) as f:
+        state = json.load(f)
+    chains = [c for c in state["runs"].values()
+              if c["variant"] == variant
+              and "parity_epe" in c and "recipe_epe" in c]
+    assert len(chains) >= RECIPE_EXPECTED_CHAINS, (
+        f"{variant}: recipe study incomplete ({len(chains)} chains)")
+    start = state["summary"]["steady_from_frame"]
+    par = np.concatenate([c["parity_epe"][start:] for c in chains])
+    rec = np.concatenate([c["recipe_epe"][start:] for c in chains])
+    diff = rec - par
+    assert diff.mean() <= MEAN_DIFF_TOL_PX, (
+        f"{variant}: recipe worse than parity by {diff.mean():+.4f} px "
+        f"(> +{MEAN_DIFF_TOL_PX})")
+    _, p_welch = stats.ttest_ind(rec, par, equal_var=False)
+    if p_welch <= ALPHA:
+        assert diff.mean() < 0, (
+            f"{variant}: distributions differ (p={p_welch:.4g}) in the "
+            "unfavorable direction")
+
+
+def test_recipe_summary_consistent_with_chains():
+    """The committed recipe summary block is recomputed from the committed
+    chains (same consistency contract as the ensemble golden)."""
+    with open(RECIPE_GOLDEN) as f:
+        state = json.load(f)
+    start = state["summary"]["steady_from_frame"]
+    for v, s in state["summary"]["by_variant"].items():
+        chains = [c for c in state["runs"].values()
+                  if c["variant"] == v
+                  and "parity_epe" in c and "recipe_epe" in c]
+        par = np.concatenate([c["parity_epe"][start:] for c in chains])
+        rec = np.concatenate([c["recipe_epe"][start:] for c in chains])
+        assert s["n_chains"] == len(chains)
+        assert s["n_steady_frames"] == par.size
+        assert np.isclose(s["parity_epe_mean"], par.mean(), rtol=1e-9)
+        assert np.isclose(s["recipe_epe_mean"], rec.mean(), rtol=1e-9)
+        assert np.isclose(s["paired_diff_mean"], (rec - par).mean(),
+                          rtol=1e-9, atol=1e-12)
+
+
 def test_every_run_records_pair_diagnostics():
     """Each paired run carries the trajectory-divergence diagnostics the
     docs cite (pairwise flow MSE/corr between the two implementations)."""
