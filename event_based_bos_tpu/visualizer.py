@@ -92,6 +92,16 @@ class Visualizer:
         self._writer_thread: Optional[threading.Thread] = None
         self._writer_error: Optional[BaseException] = None
         self._hist_state: dict = {}  # persistent history figures (worker-owned)
+        # incremental video assembly: prefixes registered via
+        # enable_video_stream get their frames appended to a cv2.VideoWriter
+        # on the writer thread AS THEY ARE PRODUCED, so the end-of-run
+        # "make video" step is a writer release instead of a full PNG
+        # re-read+re-encode pass (the reference re-reads every PNG through
+        # ffmpeg post-loop, ``visualizer.py:515-546`` — minutes of tail
+        # latency at benchmark length on this one-core host)
+        self.video_fps = 20.0
+        self._video_streams: dict = {}   # prefix -> stream state (worker-owned)
+        self._video_pending_cap = 64     # reorder buffer before giving up
 
     # -- async writer ----------------------------------------------------------
     def _enqueue(self, fn) -> None:
@@ -131,6 +141,66 @@ class Visualizer:
         if self._writer_error is not None:
             err, self._writer_error = self._writer_error, None
             raise RuntimeError("async artifact write failed") from err
+
+    # -- incremental video streams ----------------------------------------------
+    def enable_video_stream(self, prefix: str) -> None:
+        """Append this prefix's future frames to ``{prefix}.mp4``
+        incrementally (on the writer thread) as they are written.
+
+        Must be called before the prefix's first frame (the solver facade
+        registers its video prefixes up front); a stream that turns out
+        incomplete at finalize time — frames written before enabling,
+        resumed runs whose earlier frames exist only as PNGs on disk, or
+        an out-of-order gap beyond the reorder buffer — is dropped and
+        :meth:`visualize_sequential_images_as_video` falls back to the
+        PNG re-read path, so streaming is a pure fast path, never a
+        correctness dependency."""
+        if prefix not in self._video_streams:
+            self._video_streams[prefix] = {
+                "writer": None, "size": None, "next": 0, "pending": {},
+                "dead": False,
+                "path": os.path.join(self.save_dir, f"{prefix}.mp4"),
+            }
+
+    def _stream_frame(self, prefix: str, index: int, bgr: np.ndarray) -> None:
+        """Writer-thread half of the incremental assembly: buffer the frame
+        and drain every in-order frame into the prefix's VideoWriter."""
+        import cv2
+
+        st = self._video_streams.get(prefix)
+        if st is None or st["dead"]:
+            return
+        if index < st["next"] or len(st["pending"]) >= self._video_pending_cap:
+            # a past index cannot be re-encoded (mp4 is append-only), and an
+            # unbounded reorder buffer would hide a leak — drop to fallback
+            st["dead"] = True
+            if st["writer"] is not None:
+                st["writer"].release()
+                st["writer"] = None
+            st["pending"].clear()
+            return
+        if bgr.ndim == 2:
+            # match what the fallback's cv2.imread returns for a gray PNG
+            bgr = cv2.cvtColor(bgr, cv2.COLOR_GRAY2BGR)
+        st["pending"][index] = bgr
+        while st["next"] in st["pending"]:
+            frame = st["pending"].pop(st["next"])
+            if st["writer"] is None:
+                h, w = frame.shape[:2]
+                st["size"] = (h, w)
+                st["writer"] = cv2.VideoWriter(
+                    st["path"], cv2.VideoWriter_fourcc(*"mp4v"),
+                    self.video_fps, (w, h))
+                if not st["writer"].isOpened():
+                    st["writer"] = None
+                    st["dead"] = True
+                    st["pending"].clear()
+                    return
+            if frame.shape[:2] != st["size"]:
+                h, w = st["size"]
+                frame = cv2.resize(frame, (w, h))
+            st["writer"].write(frame)
+            st["next"] += 1
 
     # -- filename bookkeeping -------------------------------------------------
     def update_save_dir(self, new_dir: str) -> None:
@@ -196,15 +266,39 @@ class Visualizer:
             # itself runs on the writer thread (callers hand over freshly
             # built arrays, never mutated afterwards); filenames were
             # already fixed synchronously above, so counters stay exact.
+            stream = None
+            if (file_prefix is not None and fixed_file_name is None
+                    and file_prefix in self._video_streams):
+                stream = (file_prefix, self.prefixed_save_count[file_prefix])
             if arr.dtype == np.uint8 and arr.ndim in (2, 3) and (
                     arr.ndim == 2 or arr.shape[2] in (3, 4)):
                 if arr.ndim == 3:
                     code = (cv2.COLOR_RGB2BGR if arr.shape[2] == 3
                             else cv2.COLOR_RGBA2BGRA)
                     arr = cv2.cvtColor(arr, code)
-                self._enqueue(lambda a=arr, f=fname: cv2.imwrite(f, a))
+
+                def _job(a=arr, f=fname, s=stream):
+                    cv2.imwrite(f, a)
+                    if s is not None:
+                        # BGRA streams through its PNG round trip below —
+                        # cv2.imread drops alpha the same way for both paths
+                        self._stream_frame(
+                            s[0], s[1],
+                            a if a.ndim == 2 or a.shape[2] == 3
+                            else cv2.cvtColor(a, cv2.COLOR_BGRA2BGR))
+
+                self._enqueue(_job)
             else:
-                self._enqueue(lambda im=image, f=fname: im.save(f))
+
+                def _pil_job(im=image, f=fname, s=stream):
+                    im.save(f)
+                    if s is not None:
+                        # match cv2.imread of the saved PNG: RGB→BGR
+                        self._stream_frame(
+                            s[0], s[1],
+                            np.asarray(im.convert("RGB"))[..., ::-1].copy())
+
+                self._enqueue(_pil_job)
         if self._show:
             image.show()
         return image
@@ -480,7 +574,15 @@ class Visualizer:
 
     # -- video assembly ----------------------------------------------------------
     def visualize_sequential_images_as_video(self, prefix=None, fps: float = 20.0):
-        """All pngs of a prefix → ``{prefix}.mp4`` (``visualizer.py:515-546``)."""
+        """All pngs of a prefix → ``{prefix}.mp4`` (``visualizer.py:515-546``).
+
+        When the prefix's incremental stream (see :meth:`enable_video_stream`)
+        covered every frame on disk, this is just a writer release — no PNG
+        re-read.  Identical mp4 bytes either way: PNG is lossless, so the
+        streamed arrays equal ``cv2.imread`` of the written files and the
+        ``mp4v`` encoder sees the same frame sequence
+        (``tests/test_visualizer_utils.py::test_video_stream_matches_rebuild``).
+        """
         self.flush()  # the frames may still be in the writer queue
         prefix = prefix or self.default_prefix
         files = glob.glob(os.path.join(self.save_dir, f"{prefix}*.png"))
@@ -490,7 +592,23 @@ class Visualizer:
             return int(m.group(1)) if m else None
 
         files = sorted([f for f in files if index_of(f) is not None], key=index_of)
-        return write_video(files, os.path.join(self.save_dir, f"{prefix}.mp4"), fps)
+        out_path = os.path.join(self.save_dir, f"{prefix}.mp4")
+        st = self._video_streams.pop(prefix, None)
+        if st is not None:
+            # complete ⇔ contiguous 0..n-1 was streamed and that is exactly
+            # what is on disk (a resumed run has earlier PNGs this process
+            # never saw; a dead stream dropped out mid-way)
+            complete = (not st["dead"] and st["writer"] is not None
+                        and not st["pending"] and fps == self.video_fps
+                        and st["next"] == len(files)
+                        and files and index_of(files[-1]) == st["next"] - 1)
+            if st["writer"] is not None:
+                st["writer"].release()
+            if complete:
+                return out_path
+            logger.info("video stream for %r incomplete — rebuilding from "
+                        "PNGs", prefix)
+        return write_video(files, out_path, fps)
 
     def concat_videos(self, video_prefixes: List[str], out_name: str):
         """Side-by-side comparison video (``visualizer.py:548-583``)."""

