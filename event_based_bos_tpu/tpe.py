@@ -26,9 +26,20 @@ The host drives the loop; the objective is typically a tiny jitted device
 program evaluated once per trial — the same execution shape as the
 reference's optuna study (scipy/optuna on host, torch objective per trial).
 
+Recency-ramp ordering (pinned, round 5): optuna 2.10's
+``_split_observation_pairs`` hands each Parzen set to the estimator in
+LOSS-ASCENDING order, and ``_ParzenEstimator._calculate`` applies
+``default_weights``'s ramp over that given order — so once a set exceeds 25
+observations the ramp de-weights its *best-loss* members, not its oldest.
+Round 4 "corrected" this to trial order (fading old trials — the ramp's
+documented intent); round 5 measured the two orderings proposing different
+candidates on the real GML objective at n > 25
+(``tests/test_tpe.py::TestOptunaDefaultsPinned::
+test_recency_ramp_uses_loss_ascending_order_like_optuna`` and
+``test_recency_ramp_order_drift_on_gml_objective``) and reverted to
+optuna's exact behavior — bug-for-bug beats intent for a parity path.
+
 Deliberate deviations from optuna (documented, not bug-for-bug):
-  * observations are weighted in trial order (recency ramp), where optuna
-    applies the ramp to its internally sorted order;
   * no categorical/log/discrete distributions (the reference only ever
     suggests ``suggest_uniform``, ``gml:241-245``).
 """
@@ -125,6 +136,32 @@ class ParzenEstimator:
         return (m + np.log(np.exp(log_comp - m).sum(axis=1, keepdims=True)))[:, 0]
 
 
+def _propose(xs: np.ndarray, losses: np.ndarray, t: int, lo: np.ndarray,
+             hi: np.ndarray, rng: np.random.Generator,
+             n_ei_candidates: int) -> np.ndarray:
+    """One adaptive TPE proposal from the first ``t`` observations.
+
+    Mirrors optuna 2.10's ``_split_observation_pairs`` → per-parameter
+    ``_ParzenEstimator`` → EI-argmax pipeline: the below/above sets are
+    passed in LOSS-ASCENDING order (``np.argsort`` of the losses), which is
+    the order the recency weight ramp (:func:`_default_weights`) applies
+    over — optuna's exact behavior at n > 25, see the module docstring.
+    """
+    n_below = _default_gamma(t)
+    order = np.argsort(losses[:t], kind="stable")
+    below_idx = order[:n_below]
+    above_idx = order[n_below:]
+    dim = lo.shape[0]
+    x = np.empty(dim)
+    for d in range(dim):
+        l_est = ParzenEstimator(xs[below_idx, d], lo[d], hi[d])
+        g_est = ParzenEstimator(xs[above_idx, d], lo[d], hi[d])
+        cand = l_est.sample(rng, n_ei_candidates)
+        score = l_est.log_pdf(cand) - g_est.log_pdf(cand)
+        x[d] = cand[int(np.argmax(score))]
+    return x
+
+
 def run_tpe(
     objective: Callable[[np.ndarray], float],
     bounds: Tuple[Sequence[float], Sequence[float]],
@@ -151,19 +188,7 @@ def run_tpe(
         if t < n_startup_trials:
             x = rng.uniform(lo, hi)
         else:
-            n_below = _default_gamma(t)
-            order = np.argsort(losses[:t], kind="stable")
-            # restore trial order inside each set so the recency weight
-            # ramp (_default_weights) fades OLD trials, not low-loss ones
-            below_idx = np.sort(order[:n_below])
-            above_idx = np.sort(order[n_below:])
-            x = np.empty(dim)
-            for d in range(dim):
-                l_est = ParzenEstimator(xs[below_idx, d], lo[d], hi[d])
-                g_est = ParzenEstimator(xs[above_idx, d], lo[d], hi[d])
-                cand = l_est.sample(rng, n_ei_candidates)
-                score = l_est.log_pdf(cand) - g_est.log_pdf(cand)
-                x[d] = cand[int(np.argmax(score))]
+            x = _propose(xs, losses, t, lo, hi, rng, n_ei_candidates)
         xs[t] = x
         losses[t] = float(objective(x))
 

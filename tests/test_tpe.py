@@ -180,6 +180,139 @@ class TestOptunaDefaultsPinned:
         assert seen[10][0] == cand[int(np.argmax(score))]
 
 
+    def test_recency_ramp_uses_loss_ascending_order_like_optuna(self,
+                                                                monkeypatch):
+        """optuna 2.10's ``_split_observation_pairs`` passes each Parzen set
+        in LOSS-ASCENDING order and ``_ParzenEstimator._calculate`` applies
+        ``default_weights``'s ramp over that given order — so at n > 25 the
+        ramp de-weights the set's best-loss members (optuna's actual
+        behavior, not the ramp's documented fade-old-trials intent).  Trace
+        pin: at t = 36 (above set = 32 > 25 observations) the above
+        estimator's observations arrive loss-ascending and the below set
+        holds the γ(36) = 4 best."""
+        import event_based_bos_tpu.tpe as tpe_mod
+
+        created = []
+
+        class Rec(ParzenEstimator):
+            def __init__(self, mus, *a, **k):
+                created.append(np.array(mus, copy=True))
+                super().__init__(mus, *a, **k)
+
+        monkeypatch.setattr(tpe_mod, "ParzenEstimator", Rec)
+        seen = []
+
+        def obj(x):
+            seen.append(float(x[0]))
+            return abs(float(x[0]) - 0.3)
+
+        tpe_mod.run_tpe(obj, ([0.0], [1.0]), 37, seed=9)
+        # the last proposal (t=36) built one below + one above estimator
+        below_mus, above_mus = created[-2], created[-1]
+        obs = np.array(seen[:36])
+        losses = np.abs(obs - 0.3)
+        order = np.argsort(losses, kind="stable")
+        np.testing.assert_array_equal(below_mus, obs[order[:4]])
+        assert len(above_mus) == 32
+        np.testing.assert_array_equal(above_mus, obs[order[4:]])
+        # loss-ascending, NOT trial order (the round-4 deviation)
+        above_losses = np.abs(above_mus - 0.3)
+        assert (np.diff(above_losses) >= 0).all()
+        assert not (np.diff(above_mus) >= 0).all()
+
+    def test_recency_ramp_order_drift_on_gml_objective(self, scene):
+        """The round-4 trial-order weighting was real drift, not a no-op:
+        on the same 36 GML-objective observations, optuna's loss-ascending
+        ramp and the trial-order ramp assign different g-densities (the
+        below set, ≤ 25 members, keeps flat weights — the candidate draws
+        are identical) and over ten seeds at least one EI-argmax proposal
+        differs.  This is the n > 25 regime bound VERDICT r4 asked for; the
+        sampler now matches optuna exactly (see ``tpe._propose``)."""
+        import jax.numpy as jnp
+
+        from event_based_bos_tpu.solver import collections
+        from event_based_bos_tpu.solver.gml import make_host_objective
+        from event_based_bos_tpu.tpe import (ParzenEstimator, _default_gamma,
+                                             _propose, run_tpe)
+
+        I1, _, events = scene
+        cfg = {
+            "filter": {"filters": None,
+                       "parameters": {"xmin": 0, "xmax": H,
+                                      "ymin": 0, "ymax": W}},
+            "method": "generative_max_likelihood",
+            "outer_padding": 0,
+            "cost_with_weight": {"diff_norm": 1.0},
+            "optimizer": {"method": "optuna", "sampler": "TPE", "n_iter": 36,
+                          "parameters": {"v_x": {"min": -3, "max": 3},
+                                         "v_y": {"min": -3, "max": 3}}},
+            "generative_ml": {"weight_loss_by_event_hist": False,
+                              "weight_sigma": 5,
+                              "weight_loss_by_inverse_event_hist": False,
+                              "optimize_warp": False, "iwe_sigma": 2,
+                              "viz_diff_scale": [-0.25, 0.25],
+                              "no_polarity": False, "model_image": "current",
+                              "use_log_intensity": False,
+                              "poisson_model": False},
+        }
+        solv = collections["generative_max_likelihood"]((H, W), (H, W), {},
+                                                        cfg, None)
+        obj = make_host_objective(solv.spec)(solv._to_events(events),
+                                             jnp.asarray(I1, solv.dtype))
+        lo, hi = np.full(2, -3.0), np.full(2, 3.0)
+        # record the study's deterministic trajectory (run_tpe returns
+        # losses only; the observation matrix comes from the wrapper)
+        seen = []
+
+        def rec_obj(x):
+            seen.append(x.copy())
+            return obj(x)
+
+        res = run_tpe(rec_obj, (lo, hi), 36, seed=11)
+        xs = np.stack(seen)
+        losses = np.asarray(res.history)
+        t = 36
+        n_below = _default_gamma(t)
+        assert t - n_below > 25  # the regime where the orderings diverge
+
+        def propose_trial_order(rng):
+            """Round 4's variant: ramp over trial order within each set."""
+            order = np.argsort(losses[:t], kind="stable")
+            below_idx = np.sort(order[:n_below])
+            above_idx = np.sort(order[n_below:])
+            x = np.empty(2)
+            scores = []
+            for d in range(2):
+                l_est = ParzenEstimator(xs[below_idx, d], lo[d], hi[d])
+                g_est = ParzenEstimator(xs[above_idx, d], lo[d], hi[d])
+                cand = l_est.sample(rng, 24)
+                score = l_est.log_pdf(cand) - g_est.log_pdf(cand)
+                scores.append((cand, score))
+                x[d] = cand[int(np.argmax(score))]
+            return x, scores
+
+        def propose_optuna(rng):
+            return _propose(xs, losses, t, lo, hi, rng, 24)
+
+        any_differ = False
+        for seed in range(10):
+            x_opt = propose_optuna(np.random.default_rng(seed))
+            x_trial, scores = propose_trial_order(np.random.default_rng(seed))
+            # identical rng + flat below weights ⇒ identical candidates;
+            # the orderings differ ONLY through the g-density weights
+            rng_chk = np.random.default_rng(seed)
+            for d in range(2):
+                order = np.argsort(losses[:t], kind="stable")
+                l_chk = ParzenEstimator(xs[order[:n_below], d], lo[d], hi[d])
+                np.testing.assert_array_equal(scores[d][0],
+                                              l_chk.sample(rng_chk, 24))
+            if not np.array_equal(x_opt, x_trial):
+                any_differ = True
+        assert any_differ, ("trial-order and loss-ascending ramps proposed "
+                            "identically across all seeds — drift claim "
+                            "would be unfounded")
+
+
 def test_sampler_bounds_model_mismatch_fails_loud():
     """`optimize_warp: true` with only v_x/v_y sampler bounds must raise a
     ValueError naming the missing parameters at spec construction — not an
