@@ -109,7 +109,29 @@ class CcsDataLoader(DataLoaderBase):
 
     def set_sequence(self, sequence_name: str, undistort: bool = False) -> None:
         super().set_sequence(sequence_name)
-        self.event_data = h5py_loader(self.dataset_files["event_hdf"])
+        hdf = self.dataset_files["event_hdf"]
+        raw = self.dataset_files["event_raw"]
+        if os.path.exists(hdf):
+            self.event_data = h5py_loader(hdf)
+        elif os.path.exists(raw):
+            # direct Prophesee EVT3 capture — the path the reference ships
+            # DISABLED (``ccs.py:19-20,103-130,299-317`` gate it on the
+            # OpenEB SDK and hard-code OPENEB_ENABLED=False, forcing an
+            # offline .raw→HDF5 conversion).  The native C++ decoder
+            # (:func:`event_based_bos_tpu.runtime.decode_evt3`) reads the
+            # capture directly into the HDF5-equivalent SoA; driven
+            # end-to-end by ``tests/test_pipeline_e2e.py::
+            # test_ccs_evt3_raw_recording_end_to_end``.
+            from .. import runtime
+
+            with open(raw, "rb") as f:
+                self.event_data = runtime.decode_evt3(f.read())
+            logger.info("Decoded %d events from EVT3 capture %s",
+                        len(self.event_data["x"]), raw)
+        else:
+            raise FileNotFoundError(
+                f"No event source for sequence {sequence_name!r}: neither "
+                f"{hdf} nor {raw} exists.")
         self.min_ts = self.event_data["t"].min() / 1e6
         self.max_ts = self.event_data["t"].max() / 1e6
         self.data_duration = self.max_ts - self.min_ts
