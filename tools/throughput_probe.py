@@ -163,16 +163,20 @@ def main():
         orig = solver_api.SolverBase.flow_errors_async
         run_once(True, 2, small, serve=True)  # warm compiles
         out = {}
-        for rep in (1, 2):
-            for tag, on in (("pre", True), ("sync", False)):
-                solver_api.SolverBase.flow_errors_async = (
-                    orig if on else None)
-                r = run_once(True, n_frames, small, serve=True)
-                out[f"serving_{tag}{rep}_steady"] = round(
-                    r["steady_s_per_frame"], 3)
-                out[f"serving_{tag}{rep}_wall"] = round(
-                    r["s_per_frame"], 3)
-        solver_api.SolverBase.flow_errors_async = orig
+        try:
+            for rep in (1, 2):
+                for tag, on in (("pre", True), ("sync", False)):
+                    solver_api.SolverBase.flow_errors_async = (
+                        orig if on else None)
+                    r = run_once(True, n_frames, small, serve=True)
+                    out[f"serving_{tag}{rep}_steady"] = round(
+                        r["steady_s_per_frame"], 3)
+                    out[f"serving_{tag}{rep}_wall"] = round(
+                        r["s_per_frame"], 3)
+        finally:
+            # a failed run_once (its rc assert) must not leave the class
+            # attribute nulled for whatever runs after (ADVICE r4)
+            solver_api.SolverBase.flow_errors_async = orig
         print(json.dumps(out))
         sys.stdout.flush()
         os._exit(0)
