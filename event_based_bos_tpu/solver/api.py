@@ -53,6 +53,10 @@ _jit_render_bundle = programs.jit_render_bundle
 _jit_flow_error_pair = programs.jit_flow_error_pair
 _jit_flow_error_pair_device = programs.jit_flow_error_pair_device
 
+# probe-grade A/B escape (tools/throughput_probe.py --viz-ab): False forces
+# the legacy full-frame GT upload in render_bundle_async
+_GT_CROP_ENABLED = True
+
 
 class EstimationHandle:
     """Deferred result of :meth:`SolverBase.estimate_async`.
@@ -412,14 +416,32 @@ class SolverBase(WireUploadMixin):
             est_in = jnp.asarray(est_scaled)
             sc = 1.0
             err_sc = 1.0 / float(est_scale) if est_scale else 1.0
+        gt = np.asarray(gt_flow)
+        gt_cropped = False
+        if err_crop is not None:
+            # the CLI's GT is zero outside the evaluation crop by
+            # construction (frame_flow._pad_flow zero-pads the Farnebäck
+            # crop), so upload only the box and zero-pad on device —
+            # bit-identical renders at half the GT wire bytes.  Verified
+            # per frame (a cheap host scan) so a non-CLI caller with real
+            # data outside the box keeps the full upload.
+            x0, x1, y0, y1 = err_crop
+            full = (x0, x1, y0, y1) == (0, gt.shape[1], 0, gt.shape[2])
+            if (_GT_CROP_ENABLED and not full
+                    and not (gt[:, :x0].any() or gt[:, x1:].any()
+                             or gt[:, x0:x1, :y0].any()
+                             or gt[:, x0:x1, y1:].any())):
+                gt = np.ascontiguousarray(gt[:, x0:x1, y0:y1])
+                gt_cropped = True
         if getattr(self, "_fetch_dtype", None) is not None:
             # reduced-precision wire (flow_fetch_dtype) symmetrically: the
             # 7.4 MB full-frame GT upload halves too (≤5e-4 relative on
             # Farnebäck GT — error-text deltas ~1e-3 px, well inside the
             # ±0.02 px parity band; the program computes in f32 as before)
-            gt_flow = np.asarray(gt_flow, self._fetch_dtype)
-        out = programs.jit_render_bundle(self.orig_image_shape, err_crop)(
-            ev, est_in, jnp.asarray(gt_flow),
+            gt = np.asarray(gt, self._fetch_dtype)
+        out = programs.jit_render_bundle(self.orig_image_shape, err_crop,
+                                         gt_cropped)(
+            ev, est_in, jnp.asarray(gt),
             jnp.asarray(float(self.iwe_visualize_max_scale), jnp.float32),
             jnp.asarray(sc, jnp.float32),
             jnp.asarray(err_sc, jnp.float32))

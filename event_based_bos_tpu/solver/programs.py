@@ -96,7 +96,7 @@ def jit_flow_error(masked: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def jit_render_bundle(image_shape, err_crop=None):
+def jit_render_bundle(image_shape, err_crop=None, gt_cropped=False):
     """All per-frame visualization device work in ONE program: clipped IWE,
     event mask, both Poisson-integration views, the HSV-polar planes of
     both flows, and (with ``err_crop``) both flow-error dicts (each extra
@@ -104,6 +104,14 @@ def jit_render_bundle(image_shape, err_crop=None):
     Poisson views are shape-agnostic (non-CLI callers may pass crop-shaped
     flows; ``err_crop`` requires the full-frame shapes the CLI loop always
     has — ``frame_flow`` pads every GT branch to the original size).
+
+    ``gt_cropped`` (round 5): the caller uploads only the ``err_crop`` box
+    of the GT flow and the program zero-pads it back to the frame — the GT
+    is zero outside the evaluation crop by construction
+    (``frame_flow._pad_flow`` pads the Farnebäck crop with zeros), so the
+    renders are bit-identical while the per-frame GT upload drops by the
+    crop ratio (7.4 → 3.7 MB at the benchmark geometry; the caller
+    verifies the outside region is zero before taking this path).
 
     The polar planes ``(ang_u8, magp_f16)`` move the per-frame flow
     colorization's float math (hypot, atan2, **0.5 at 0.9 Mpx — ~400 ms
@@ -143,15 +151,22 @@ def jit_render_bundle(image_shape, err_crop=None):
         est32 = est.astype(jnp.float32)
         est_scaled = est32 * est_scale
         mask = create_eventmask(ev, image_shape)
+        if gt_cropped:
+            x0, x1, y0, y1 = err_crop
+            gt_full = jnp.pad(gt_flow, ((0, 0), (x0, image_shape[0] - x1),
+                                        (y0, image_shape[1] - y1)))
+        else:
+            gt_full = gt_flow
         out = (clipped_iwe(ev, image_shape, max_scale), mask,
-               poisson_view(est_scaled), poisson_view(gt_flow),
-               polar(est_scaled), polar(gt_flow))
+               poisson_view(est_scaled), poisson_view(gt_full),
+               polar(est_scaled), polar(gt_full))
         if err_crop is not None:
             # the evaluation pair compares the UNSCALED oriented flow
             # (err_scale = sign, or 1/time-scale on the host-flow path)
             x0, x1, y0, y1 = err_crop
             pred_c = (est32 * err_scale)[None, :, x0:x1, y0:y1]
-            gt_c = gt_flow.astype(jnp.float32)[None, :, x0:x1, y0:y1]
+            gt_c = (gt_flow if gt_cropped
+                    else gt_flow[:, x0:x1, y0:y1]).astype(jnp.float32)[None]
             m = mask[:, x0:x1, y0:y1][None]
             out = out + (calculate_flow_error(gt_c, pred_c),
                          calculate_flow_error(gt_c, pred_c, event_mask=m))

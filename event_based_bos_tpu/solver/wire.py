@@ -42,20 +42,31 @@ class WireUploadMixin:
         """Parse + validate the wire config keys (fail-loud on typos).
 
         Serving-path wire options (docs/performance.md): quantized event
-        upload (``True``/"exact" = bit-exact for 1/32-px-aligned µs
-        streams with silent float32 fallback otherwise; "round" = snap
-        onto the wire grid, ≤1/64 px / ≤0.5 µs error, so continuous-time
-        or sub-pixel streams keep the compact upload) and
-        reduced-precision flow fetch.
+        upload (``True``/"exact" = bit-exact for 1/32-px-aligned
+        coordinates — off-µs-grid timestamps ride the mixed-t f32 tier —
+        with silent float32 fallback otherwise; "round" = snap onto the
+        wire grid, ≤1/64 px / ≤0.5 µs error, so sub-pixel streams keep
+        the compact upload) and reduced-precision flow fetch.
+
+        With no ``quantized_upload`` key the facade still tries the exact
+        wire *opportunistically* at float32 (``quantized_upload: direct``
+        opts out): its contract is bitwise equality with the direct
+        upload, so the only observable difference is ~2× fewer
+        host→device bytes per frame — on the remote-TPU tunnel the
+        dominant plain-serving/visualize cost (docs/performance.md
+        §end-to-end).  Batches the exact encoder refuses (sub-1/32-px
+        coords, frames beyond 2047 px, fractional polarity) upload
+        directly, without the configured modes' fallback warning.
         """
         qu = slv_config.get("quantized_upload", False)
         self.wire_mode = ({True: "exact", "exact": "exact",
-                           "round": "round"}.get(qu)
+                           "round": "round", "direct": None}.get(qu, False)
                           if qu else None)
-        if qu and self.wire_mode is None:
+        if self.wire_mode is False:
             raise ValueError(f"quantized_upload: unknown mode {qu!r} "
-                             "(expected true, 'exact' or 'round')")
+                             "(expected true, 'exact', 'round' or 'direct')")
         self.wire_quantized = self.wire_mode is not None
+        self._wire_opportunistic = not self.wire_quantized and qu != "direct"
         self._wire_decode_jit: dict = {}
         self._wire_fell_back = False
         fetch = str(slv_config.get("flow_fetch_dtype", "float32"))
@@ -96,7 +107,15 @@ class WireUploadMixin:
         arr = np.asarray(events)
         cap = bucket_capacity(len(arr))
         use_wire = self.wire_quantized
-        if use_wire and self.dtype != jnp.float32 and self.wire_mode == "exact":
+        wire_mode = self.wire_mode
+        opportunistic = False
+        if (not use_wire and self._wire_opportunistic
+                and self.dtype == jnp.float32 and arr.ndim == 2):
+            # default path: try the exact wire (bitwise-identical decode,
+            # ~2× fewer upload bytes); silently upload direct when the
+            # encoder refuses the batch
+            use_wire, wire_mode, opportunistic = True, "exact", True
+        if use_wire and self.dtype != jnp.float32 and wire_mode == "exact":
             # the exact wire contract is bitwise equality at float32; a
             # float64 direct upload carries precision the wire cannot, so
             # honor precision: "64" over the compact upload
@@ -111,23 +130,23 @@ class WireUploadMixin:
             from ..types import decode_wire_events, encode_wire_events
 
             wire = encode_wire_events(arr, cap, include_t=need_t,
-                                      mode=self.wire_mode)
+                                      mode=wire_mode,
+                                      t_bitwise=opportunistic)
             if wire is not None:
-                key = (cap, "t_us" in wire)
+                key = (cap, "t_us" in wire, "t_f32" in wire)
                 fn = self._wire_decode_jit.get(key)
                 if fn is None:
                     fn = jax.jit(functools.partial(decode_wire_events,
                                                    dtype=self.dtype))
                     self._wire_decode_jit[key] = fn
                 return fn(wire)
-            if not self._wire_fell_back:
+            if not opportunistic and not self._wire_fell_back:
                 self._wire_fell_back = True
                 logger.warning(
                     "quantized_upload (%s): batch not representable on the "
                     "wire grid (%s) — falling back to float32 uploads.",
-                    self.wire_mode,
-                    "out-of-range values" if self.wire_mode == "round"
-                    else "sub-1/32-px coordinates, off-µs-grid timestamps "
-                         "or out-of-range values; 'round' mode would snap "
-                         "them instead")
+                    wire_mode,
+                    "out-of-range values" if wire_mode == "round"
+                    else "sub-1/32-px coordinates or out-of-range values; "
+                         "'round' mode would snap them instead")
         return events_from_ndarray(arr, capacity=cap, dtype=self.dtype)

@@ -150,7 +150,9 @@ def pad_events(ev: Events, capacity: int) -> Events:
 #     p     → int8 raw polarity (±1 and 0/1 streams round-trip bit-exactly)
 #     t     → OPTIONAL int32 µs relative to the window start (the pyramid
 #             solver never reads timestamps — its events enter only through
-#             the polarity histogram — so its facade omits t entirely)
+#             the polarity histogram — so its facade omits t entirely), or
+#             raw float32 when the stream is off the µs grid (mixed-t tier:
+#             same bytes, bitwise-identical decode)
 #     count → int32 scalar (validity mask is rebuilt on device)
 # = 5 B/event without t (3.4× fewer bytes), 9 B/event with t (1.9×).
 # The device-side decode reproduces the float32 ``Events`` BIT-EXACTLY when
@@ -160,10 +162,18 @@ WIRE_SUBPIXEL = 32
 
 
 def encode_wire_events(events: np.ndarray, capacity: int,
-                       include_t: bool = True, mode: str = "exact"):
+                       include_t: bool = True, mode: str = "exact",
+                       t_bitwise: bool = False):
     """Host-side wire encoder; returns a dict of compact np arrays or
     ``None`` when the batch cannot be represented — callers fall back to
     the float32 upload.
+
+    ``t_bitwise=True`` (the facades' opportunistic DEFAULT upload) always
+    ships timestamps on the mixed-t f32 tier, even for µs-aligned streams:
+    the i32-µs decode is only within ~2 f32 ulps of the direct upload (and
+    pads invalid slots with t0, not 0), while the f32 tier is bitwise equal
+    on the full padded array — the property the default path's "no
+    observable difference" contract requires.
 
     ``mode="exact"`` (default) additionally rejects batches that would not
     round-trip bit-exactly (sub-1/32-px coordinates or off-µs-grid
@@ -171,8 +181,16 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     grid — coordinate error ≤ 1/64 px and timestamp error ≤ 0.5 µs, both
     orders of magnitude below the solver's own noise floor — so
     continuous-time or undistorted (sub-pixel) streams still get the
-    compact upload.  Out-of-range values (coords outside [0, 2047.97] px,
-    windows ≥ 2^31 µs) force the fallback in both modes.
+    compact upload.  Out-of-range values (coords outside [0, 2047.97] px)
+    force the fallback in both modes.
+
+    Mixed-t tier (round 5): when x/y/p fit the exact wire but the
+    timestamps do not (continuous-time streams, windows ≥ 2^31 µs),
+    ``mode="exact"`` ships ``t_f32`` — the raw float32 timestamps — instead
+    of rejecting the batch.  Same 9 B/event (f32 t = i32 µs), and the
+    decode is then *bitwise* equal to the direct float32 upload on every
+    field, which is what lets the facades use the exact wire as the
+    DEFAULT upload path (``solver/wire.py``) rather than an opt-in.
     """
     if mode not in ("exact", "round"):
         raise ValueError(f"unknown wire mode {mode!r}")
@@ -234,23 +252,32 @@ def encode_wire_events(events: np.ndarray, capacity: int,
     out["y_q"][:n] = yq.astype(np.uint16)
     out["p"][:n] = pq.astype(np.int8)
     if include_t:
+        if t_bitwise:
+            out["t_f32"] = np.zeros(capacity, np.float32)
+            out["t_f32"][:n] = ev[:, 2].astype(np.float32)
+            return out
         t0 = float(ev[:, 2].min())
         rel = (ev[:, 2] - t0) * 1e6
         tus = np.rint(rel)
         # timestamps must be µs-aligned for the i32-µs wire to be faithful
-        # (raw camera streams are — the CCS HDF5 stores int32 µs); in
-        # "exact" mode reject off-grid times like x/y so continuous-time
-        # batches fall back to the float32 upload instead of being silently
-        # rounded; "round" mode snaps them (≤ 0.5 µs error)
-        if tus.max() >= 2**31:
-            return None
+        # (raw camera streams are — the CCS HDF5 stores int32 µs); "round"
+        # mode snaps off-grid times (≤ 0.5 µs error).  In "exact" mode an
+        # off-grid (or out-of-range) stream takes the mixed-t tier instead:
+        # raw float32 timestamps ride the wire (same 4 B/event as i32 µs)
+        # and decode bitwise-identically to the direct float32 upload.
         # 1e-4 µs: safely above the f64 rounding noise of (t − t0)·1e6 on a
         # µs-integer stream (~5e-7 µs at 2³¹ µs windows) and far below any
-        # genuinely off-grid timestamp; the decoded t is then within ~2 f32
-        # ulps of the direct upload (decode docstring) — t is the one field
-        # whose "exact" contract is grid membership, not bitwise equality,
-        # because its decode involves a non-power-of-two multiply.
-        if mode == "exact" and np.max(np.abs(rel - tus)) > 1e-4:
+        # genuinely off-grid timestamp; the decoded i32-µs t is within ~2
+        # f32 ulps of the direct upload (decode docstring) — t_us's "exact"
+        # contract is grid membership, not bitwise equality, because its
+        # decode involves a non-power-of-two multiply.
+        t_fits_grid = tus.max() < 2**31
+        if mode == "exact" and (not t_fits_grid
+                                or np.max(np.abs(rel - tus)) > 1e-4):
+            out["t_f32"] = np.zeros(capacity, np.float32)
+            out["t_f32"][:n] = ev[:, 2].astype(np.float32)
+            return out
+        if not t_fits_grid:
             return None
         out["t_us"] = np.zeros(capacity, np.int32)
         out["t_us"][:n] = tus.astype(np.int32)
@@ -262,8 +289,9 @@ def decode_wire_events(wire: dict, dtype=jnp.float32) -> Events:
     """Device-side decode (jit this per capacity): rebuilds the float32
     :class:`Events` from the quantized wire arrays.  Timestamps decode to
     ``t0 + µs·1e-6`` (within ~2 float32 ulps of the direct upload for the
-    µs-aligned batches the encoder accepts) or to zeros when the producer
-    omitted them."""
+    µs-aligned batches the encoder accepts), pass through bitwise from the
+    mixed-t tier's ``t_f32``, or decode to zeros when the producer omitted
+    them."""
     x_q = wire["x_q"]
     cap = x_q.shape[-1]
     scale = jnp.asarray(1.0 / WIRE_SUBPIXEL, dtype)
@@ -273,6 +301,8 @@ def decode_wire_events(wire: dict, dtype=jnp.float32) -> Events:
     if "t_us" in wire:
         t = wire["t0"].astype(dtype) + wire["t_us"].astype(dtype) * jnp.asarray(
             1e-6, dtype)
+    elif "t_f32" in wire:
+        t = wire["t_f32"].astype(dtype)
     else:
         t = jnp.zeros((cap,), dtype)
     valid = jnp.arange(cap) < wire["count"]

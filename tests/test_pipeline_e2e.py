@@ -987,9 +987,10 @@ def test_serving_tless_wire_engages(tiny_config, tmp_path, monkeypatch):
     def run(with_fwl, out_name):
         calls = []
 
-        def spy(events, capacity, include_t=True, mode="round"):
+        def spy(events, capacity, include_t=True, mode="round",
+                t_bitwise=False):
             wire = real_encode(events, capacity, include_t=include_t,
-                               mode=mode)
+                               mode=mode, t_bitwise=t_bitwise)
             if wire is not None:
                 nbytes = sum(np.asarray(v).nbytes for v in wire.values())
                 calls.append((include_t, nbytes, capacity))

@@ -664,6 +664,76 @@ def test_render_bundle_folded_errors_match_standalone(scene):
                                             want_d[k])
 
 
+def test_render_bundle_gt_crop_program_equivalence(scene):
+    """round-5: the cropped-GT-upload render bundle (``gt_cropped=True`` —
+    the caller ships only the evaluation box and the program zero-pads)
+    must be BITWISE equal to the full-frame-upload program on a GT that is
+    zero outside the box, artifacts and folded errors alike."""
+    from event_based_bos_tpu.solver import programs
+
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    filtered, _ = solv.preprocess(events)
+    ev = solv._to_events(filtered)
+    rng = np.random.default_rng(0)
+    est = rng.uniform(-1, 1, (2, H, W)).astype(np.float32)
+    crop = (0, H, 8, W - 8)
+    x0, x1, y0, y1 = crop
+    gt = np.zeros((2, H, W), np.float32)
+    gt[:, x0:x1, y0:y1] = rng.uniform(-1, 1, (2, x1 - x0, y1 - y0))
+    args = (jnp.asarray(1.0, jnp.float32), jnp.asarray(1.3, jnp.float32),
+            jnp.asarray(1.0, jnp.float32))
+    full = programs.jit_render_bundle((H, W), crop, False)(
+        ev, jnp.asarray(est), jnp.asarray(gt), *args)
+    cropped = programs.jit_render_bundle((H, W), crop, True)(
+        ev, jnp.asarray(est), jnp.asarray(gt[:, x0:x1, y0:y1]), *args)
+    flat_f, tree_f = jax.tree_util.tree_flatten(full)
+    flat_c, tree_c = jax.tree_util.tree_flatten(cropped)
+    assert tree_f == tree_c
+    for a, b in zip(flat_f, flat_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_bundle_gt_crop_engages_only_on_zero_padded_gt(scene,
+                                                              monkeypatch):
+    """The facade takes the cropped-GT upload iff the GT is verifiably zero
+    outside the evaluation box (the CLI's ``frame_flow`` padding); any real
+    data outside keeps the full upload so non-CLI callers stay exact."""
+    from event_based_bos_tpu.solver import programs
+
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    filtered, _ = solv.preprocess(events)
+    handle = solv.estimate_async(filtered, None, frame=I1, background=I1)
+    handle.result()
+    seen = []
+    real = programs.jit_render_bundle
+
+    def spy(image_shape, err_crop=None, gt_cropped=False):
+        seen.append(gt_cropped)
+        return real(image_shape, err_crop, gt_cropped)
+
+    monkeypatch.setattr(programs, "jit_render_bundle", spy)
+    rng = np.random.default_rng(1)
+    crop = (0, H, 8, W - 8)
+    gt_padded = np.zeros((2, H, W), np.float32)
+    gt_padded[:, :, 8:W - 8] = rng.uniform(-1, 1, (2, H, W - 16))
+    solv.render_bundle(filtered, None, gt_padded,
+                       est_device=handle.device_flow, est_scale=1.0,
+                       err_crop=crop)
+    gt_dirty = np.array(gt_padded)
+    gt_dirty[0, 0, 0] = 0.5  # real data outside the box
+    solv.render_bundle(filtered, None, gt_dirty,
+                       est_device=handle.device_flow, est_scale=1.0,
+                       err_crop=crop)
+    # no err_crop → nothing to crop against
+    solv.render_bundle(filtered, None, gt_padded,
+                       est_device=handle.device_flow, est_scale=1.0)
+    assert seen == [True, False, False]
+
+
 @pytest.mark.parametrize("convention", ["reference", "physical"])
 def test_flow_errors_async_matches_standalone(scene, convention):
     """The serving-mode pre-dispatched error pair

@@ -65,10 +65,11 @@ class TestWireRoundtrip:
         arr2[0, 0] = 3000.0  # fixed-point overflow at 32×
         assert encode_wire_events(arr2, 8192) is None
         arr3 = _batch()
-        arr3[5, 2] += 0.4e-6  # off the µs grid: t would be silently rounded
-        assert encode_wire_events(arr3, 8192) is None
-        # ... but a t-less request doesn't care about time alignment
-        assert encode_wire_events(arr3, 8192, include_t=False) is not None
+        arr3[5, 2] += 0.4e-6  # off the µs grid: t rides the mixed-t tier
+        wire = encode_wire_events(arr3, 8192)
+        assert wire is not None and "t_f32" in wire and "t_us" not in wire
+        # ... and a t-less request doesn't carry time at all
+        assert "t_f32" not in encode_wire_events(arr3, 8192, include_t=False)
 
     def test_without_t(self):
         arr = _batch()
@@ -133,7 +134,8 @@ class TestWireRoundMode:
         arr = _batch()
         rng = np.random.default_rng(1)
         arr[:, 2] += rng.uniform(0, 1e-6, len(arr))  # off the µs grid
-        assert encode_wire_events(arr, 8192) is None  # exact mode refuses
+        # exact mode keeps the batch via the mixed-t f32 tier instead
+        assert "t_f32" in encode_wire_events(arr, 8192)
         wire = encode_wire_events(arr, 8192, mode="round")
         assert wire is not None
         ev = decode_wire_events(wire)
@@ -385,11 +387,17 @@ class TestWireExactIsRoundTrip:
         # snapping is exactly what 'round' mode is for
         assert encode_wire_events(arr, 8192, mode="round") is not None
 
-    def test_time_just_off_grid_falls_back(self):
+    def test_time_just_off_grid_takes_mixed_tier(self):
         arr = _batch()
         arr[5, 2] += 1e-3 * 1e-6  # 1e-3 µs off grid (inside the old 1e-2 tol)
-        assert encode_wire_events(arr, 8192) is None
-        assert encode_wire_events(arr, 8192, mode="round") is not None
+        wire = encode_wire_events(arr, 8192)
+        # the µs wire would silently round this; the mixed-t tier ships the
+        # raw f32 timestamps instead — bitwise equal to the direct upload
+        assert wire is not None and "t_f32" in wire
+        ev = decode_wire_events(wire)
+        ref = events_from_ndarray(arr, capacity=8192)
+        np.testing.assert_array_equal(np.asarray(ev.t), np.asarray(ref.t))
+        assert "t_us" in encode_wire_events(arr, 8192, mode="round")
 
     def test_near_integer_polarity_falls_back(self):
         arr = _batch()
@@ -397,6 +405,139 @@ class TestWireExactIsRoundTrip:
         arr[3, 3] = 1.0009
         assert encode_wire_events(arr, 8192) is None
         assert encode_wire_events(arr, 8192, mode="round") is not None
+
+
+class TestMixedTTier:
+    """round-5: ``mode="exact"`` ships raw f32 timestamps when the stream is
+    off the µs grid (same 4 B/event), decoding bitwise-identically to the
+    direct float32 upload on every field — the tier that lets the exact wire
+    run as the DEFAULT upload."""
+
+    def test_huge_window_takes_mixed_tier(self):
+        arr = _batch()
+        arr[-1, 2] += 4000.0  # window ≥ 2^31 µs: i32-µs wire can't carry it
+        wire = encode_wire_events(arr, 8192)
+        assert wire is not None and "t_f32" in wire
+        ev = decode_wire_events(wire)
+        ref = events_from_ndarray(arr, capacity=8192)
+        np.testing.assert_array_equal(np.asarray(ev.t), np.asarray(ref.t))
+        # round mode has no f32 tier — it must still fall back
+        assert encode_wire_events(arr, 8192, mode="round") is None
+
+    def test_on_grid_stream_keeps_us_wire(self):
+        # µs-aligned batches still take the (more compact under gzip,
+        # contract-unchanged) i32 tier — the mixed tier is a fallback only
+        assert "t_us" in encode_wire_events(_batch(), 8192)
+
+    def test_mixed_tier_full_field_bitwise(self):
+        rng = np.random.default_rng(7)
+        arr = _batch()
+        arr[:, 2] = np.sort(rng.uniform(0.0, 0.008, len(arr)))  # continuous
+        wire = encode_wire_events(arr, 8192)
+        assert "t_f32" in wire
+        ev = decode_wire_events(wire)
+        ref = events_from_ndarray(arr, capacity=8192)
+        for a, b in ((ev.x, ref.x), (ev.y, ref.y), (ev.t, ref.t),
+                     (ev.p, ref.p), (ev.valid, ref.valid)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestOpportunisticDefaultWire:
+    """round-5: with no ``quantized_upload`` key the facade tries the exact
+    wire on every upload — bitwise-identical Events at ~2× fewer bytes —
+    and ``quantized_upload: direct`` opts out."""
+
+    CFG = {"method": "patch_eklt_pyramid2", "outer_padding": 0,
+           "cost_with_weight": {"diff_norm": 1.0, "image_gradient": 0.5},
+           "optimizer": {"method": "Adam", "n_iter": 16},
+           "generative_ml": {"weight_loss_by_event_hist": False,
+                             "weight_sigma": 5,
+                             "weight_loss_by_inverse_event_hist": True,
+                             "optimize_warp": False, "iwe_sigma": 2,
+                             "viz_diff_scale": [-0.25, 0.25],
+                             "no_polarity": False, "model_image": "current",
+                             "use_log_intensity": False,
+                             "poisson_model": True},
+           "patch_eklt": {"patch_size": 4, "sliding_window": 2,
+                          "do_event_thresholding": False, "event_thres": 8,
+                          "coarsest_patch_size": 16, "finest_patch_size": 8}}
+
+    def _solver(self, extra=None):
+        from event_based_bos_tpu.solver import collections
+
+        cfg = dict(self.CFG, **(extra or {}))
+        return collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg,
+                                                  None)
+
+    def test_default_upload_rides_the_wire(self, monkeypatch):
+        import event_based_bos_tpu.types as types_mod
+        from event_based_bos_tpu.solver import wire as wire_mod
+
+        calls = []
+        real = types_mod.encode_wire_events
+
+        def spy(events, capacity, include_t=True, mode="exact",
+                t_bitwise=False):
+            calls.append((mode, t_bitwise))
+            return real(events, capacity, include_t=include_t, mode=mode,
+                        t_bitwise=t_bitwise)
+
+        # wire.py imports inside the method body, so patch the source module
+        monkeypatch.setattr(types_mod, "encode_wire_events", spy)
+        solv = self._solver()
+        assert solv._wire_opportunistic and not solv.wire_quantized
+        ev = solv._to_events(_batch())
+        # the default path must request the bitwise-t tier: the i32-µs
+        # decode is ~2 ulps off and pads invalid slots with t0, not 0
+        assert calls == [("exact", True)]
+        ref = events_from_ndarray(_batch(), capacity=8192)
+        for a, b in ((ev.x, ref.x), (ev.y, ref.y), (ev.t, ref.t),
+                     (ev.p, ref.p), (ev.valid, ref.valid)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_direct_opts_out(self, monkeypatch):
+        import event_based_bos_tpu.types as types_mod
+
+        def boom(*a, **k):  # pragma: no cover - assertion helper
+            raise AssertionError("wire encode must not run under 'direct'")
+
+        monkeypatch.setattr(types_mod, "encode_wire_events", boom)
+        solv = self._solver({"quantized_upload": "direct"})
+        assert not solv._wire_opportunistic
+        solv._to_events(_batch())
+
+    def test_unrepresentable_batch_uploads_directly_without_warning(
+            self, caplog):
+        import logging
+
+        solv = self._solver()
+        arr = _batch()
+        arr[3, 0] += 0.01  # off the 1/32 grid → encoder refuses
+        with caplog.at_level(logging.WARNING):
+            ev = solv._to_events(arr)
+        assert not solv._wire_fell_back
+        assert not any("quantized_upload" in r.message for r in caplog.records)
+        ref = events_from_ndarray(arr, capacity=8192)
+        np.testing.assert_array_equal(np.asarray(ev.x), np.asarray(ref.x))
+
+    def test_default_flow_bitwise_vs_direct(self):
+        rng = np.random.default_rng(5)
+        I1, _, events = synthetic_scene(H, W, du=(1.5, -0.8), n=20000)
+        events = np.array(events)
+        events[:, 2] = np.sort(rng.uniform(0.0, 0.008, len(events)))
+        cfg = dict(self.CFG,
+                   filter={"filters": None,
+                           "parameters": {"xmin": 0, "xmax": H,
+                                          "ymin": 0, "ymax": W}})
+        from event_based_bos_tpu.solver import collections
+
+        opp = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg,
+                                                 None)
+        f_opp = opp.estimate(events, None, frame=I1, background=I1)
+        direct = collections["patch_eklt_pyramid2"](
+            (H, W), (H, W), {}, dict(cfg, quantized_upload="direct"), None)
+        f_dir = direct.estimate(events, None, frame=I1, background=I1)
+        np.testing.assert_array_equal(f_opp, f_dir)
 
 
 def test_exact_wire_disabled_under_precision_64():

@@ -78,7 +78,8 @@ def build_config(out_dir: str, n_frames: int, small: bool) -> dict:
 
 def run_once(pipeline: bool, n_frames: int, small: bool,
              serve: bool = False, wire: bool = False,
-             fast: bool = False, seq_mesh: bool = False) -> dict:
+             fast: bool = False, seq_mesh: bool = False,
+             legacy_wire: bool = False) -> dict:
     import yaml
 
     from event_based_bos_tpu import cli
@@ -86,6 +87,15 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
     out = tempfile.mkdtemp(prefix=f"thr_{'pipe' if pipeline else 'sync'}_")
     cfg = build_config(os.path.join(out, "run"), n_frames, small)
     cfg["pipeline"] = pipeline
+    if legacy_wire:
+        # round-4-equivalent default path: uncompressed f32 event uploads
+        # and the full-frame GT upload (the round-5 default engages the
+        # exact wire + cropped-GT upload opportunistically — both
+        # bit-identical, so this A/B isolates pure wire-byte time)
+        from event_based_bos_tpu.solver import api as solver_api
+
+        cfg["solver"]["quantized_upload"] = "direct"
+        solver_api._GT_CROP_ENABLED = False
     if seq_mesh:
         # single-chip sequential mesh: the segmented loop's built-in
         # one-step pipeline (produce t+1 ‖ device step t) on one lane
@@ -112,9 +122,16 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
 
-    t0 = time.perf_counter()
-    rc = cli.main(["--config_file", cfg_path, "--eval", "--log", "warning"])
-    wall = time.perf_counter() - t0
+    try:
+        t0 = time.perf_counter()
+        rc = cli.main(["--config_file", cfg_path, "--eval",
+                       "--log", "warning"])
+        wall = time.perf_counter() - t0
+    finally:
+        if legacy_wire:
+            from event_based_bos_tpu.solver import api as solver_api
+
+            solver_api._GT_CROP_ENABLED = True
     assert rc == 0
     n_done = sum(1 for line in open(os.path.join(
         out, "run", "flow_error_per_frame_without_mask.txt")))
@@ -188,6 +205,22 @@ def main():
             "seq_mesh_s_per_frame": round(seq["s_per_frame"], 3),
             "seq_mesh_steady": round(seq["steady_s_per_frame"], 3),
             "frames": seq["frames"]}))
+        sys.stdout.flush()
+        os._exit(0)
+    if "--viz-ab" in sys.argv:
+        # interleaved A/B of the round-5 default wire cuts in the plain
+        # (non-wire-config) visualize-on loop: opportunistic exact event
+        # wire (9 B/event vs 17) + cropped-GT upload (box vs full frame),
+        # both bit-identical, vs the round-4-equivalent direct-upload path
+        run_once(False, 2, small)  # warm compiles
+        out = {}
+        for rep in (1, 2):
+            for tag, legacy in (("new", False), ("legacy", True)):
+                r = run_once(True, n_frames, small, legacy_wire=legacy)
+                out[f"viz_{tag}{rep}_steady"] = round(
+                    r["steady_s_per_frame"], 3)
+                out[f"viz_{tag}{rep}_wall"] = round(r["s_per_frame"], 3)
+        print(json.dumps(out))
         sys.stdout.flush()
         os._exit(0)
     if "--visualize-only" in sys.argv:
