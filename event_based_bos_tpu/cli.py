@@ -109,6 +109,13 @@ def evaluate_per_frames(config, loader, solv, viz):
     store = (FrameResultStore(config["output_dir"])
              if config.get("resume") else None)
     timer = Timer() if config.get("profile") else None
+    # Steady-state breakdown: a second timer engaged after the second
+    # finalize (compilation and the heavy-tailed first execution land in
+    # the first frames — docs/performance.md §cold start), reported per
+    # frame against the steady wall clock, so the profile answers "where
+    # does the steady ~1 s/frame go" instead of folding the cold start in.
+    steady_timer = Timer() if timer is not None else None
+    steady_state = [0, 0.0]  # finalized-frame count; steady window start
     pipeline = bool(config.get("pipeline"))
 
     mesh_cfg = config.get("mesh")
@@ -271,9 +278,17 @@ def evaluate_per_frames(config, loader, solv, viz):
     remove_nose = utils.check_key_and_bool(config["data"], "remove_nose")
     roi = {k: common[k] for k in ("xmin", "xmax", "ymin", "ymax")}
 
+    @contextlib.contextmanager
     def _section(name):
-        return timer.section(name) if timer is not None else (
-            contextlib.nullcontext())
+        if timer is None:
+            yield
+            return
+        with timer.section(name):
+            if steady_state[0] >= 2:
+                with steady_timer.section(name):
+                    yield
+            else:
+                yield
 
     # producer-side frame counter: incremented for every non-collapsed frame
     # in production order, so numbering matches a fresh run in both modes
@@ -389,7 +404,14 @@ def evaluate_per_frames(config, loader, solv, viz):
         """Host stage: fetch the flow, render, evaluate, record
         (``bos_event.py:184-220``)."""
         with _section("finalize"):
-            return _finalize(work, handle, i_frame)
+            out = _finalize(work, handle, i_frame)
+        if timer is not None:
+            steady_state[0] += 1
+            if steady_state[0] == 2:
+                import time
+
+                steady_state[1] = time.perf_counter()
+        return out
 
     def _finalize(work, handle, i_frame):
         if viz is not None:
@@ -677,6 +699,20 @@ def evaluate_per_frames(config, loader, solv, viz):
             finalize(*in_flight)
     if timer is not None:
         logger.info("Per-section host timings:\n%s", timer.report())
+        n_steady = steady_state[0] - 2
+        if n_steady > 0:
+            import time
+
+            wall = time.perf_counter() - steady_state[1]
+            # In the pipelined loop frame 3's produce/dispatch may predate
+            # the steady window and the last frame's finalize ends it, so
+            # per-section attribution is approximate to ±1 frame of
+            # prepare/estimate; shares are stable for n_steady ≳ 5.
+            logger.info(
+                "Steady-state sections (frames 3+, n=%d, wall %.3f "
+                "s/frame) — shares of the steady wall:\n%s",
+                n_steady, wall / n_steady,
+                steady_timer.report(n_frames=n_steady, wall_s=wall))
 
 
 def evaluate_flow_on_event_grids(config, loader, viz):

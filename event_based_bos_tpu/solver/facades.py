@@ -285,6 +285,18 @@ class PatchEkltPyramid2(SolverBase):
         self._split_iwe = False if sic == "off" else sic
         self._cache_jit = {}
         self._mask = jnp.asarray(roi_mask(self.spec))
+        # Cropped flow fetch: the solve's dense flow is exactly +0.0
+        # outside the ROI box (``pyramid.py::solve_pyramid`` selects on the
+        # {0,1} ``roi_mask``), so only the box needs to cross the
+        # device→host wire — on the remote tunnel the full-frame f32 flow
+        # (7.4 MB at the benchmark scale) is the single largest per-frame
+        # fetch (docs/performance.md §end-to-end).  The host reconstruction
+        # (``np.zeros`` + box paste) is bitwise identical to the full
+        # fetch.  None when the ROI covers the frame.
+        x0, x1, y0, y1 = self.spec.roi
+        h_, w_ = self.spec.gen.image_size
+        self._flow_fetch_box = ((x0, x1, y0, y1)
+                                if (x1 - x0) * (y1 - y0) < h_ * w_ else None)
         self._jitted = {}
         self._last_aux = None
 
@@ -320,16 +332,27 @@ class PatchEkltPyramid2(SolverBase):
                 "remote backends; subsequent frames are milliseconds).",
                 capacity)
             base = functools.partial(estimate_frame, spec=spec)
-            if self._fetch_dtype is not None:
+            if self._fetch_dtype is not None or self._flow_fetch_box:
                 fetch_dtype = self._fetch_dtype
+                box = self._flow_fetch_box
 
                 def base(ev, frame, mask, key, prev_params=None, cache=None,
                          _inner=functools.partial(estimate_frame, spec=spec)):
-                    # cast the fetched flow inside the same program: halves
-                    # the device→host bytes of the serving path
+                    # shrink the fetched flow inside the same program: the
+                    # optional reduced-precision cast halves the
+                    # device→host bytes and the ROI crop drops the
+                    # statically-zero outside region; ``aux["flow_device"]``
+                    # keeps the full-frame (cast) flow device-resident for
+                    # the render-bundle / error-pair programs
                     flow, aux = _inner(ev, frame, mask, key,
                                        prev_params=prev_params, cache=cache)
-                    return flow.astype(fetch_dtype), aux
+                    if fetch_dtype is not None:
+                        flow = flow.astype(fetch_dtype)
+                    aux = dict(aux, flow_device=flow)
+                    if box is not None:
+                        flow = jax.lax.slice(
+                            flow, (0, box[0], box[2]), (2, box[1], box[3]))
+                    return flow, aux
             self._jitted[(capacity, steady)] = jax.jit(base)
         return self._jitted[(capacity, steady)]
 
@@ -408,6 +431,8 @@ class PatchEkltPyramid2(SolverBase):
             self.set_previous_frame_best_estimation(
                 update_coarse_from_fine(aux["params_per_scale"], used_spec))
 
+        box = self._flow_fetch_box
+
         def finalize() -> np.ndarray:
             if self.visualizer is not None:
                 hist = {f"scale{i}": np.asarray(h)
@@ -420,13 +445,24 @@ class PatchEkltPyramid2(SolverBase):
                                              used_spec, self.iter_cnt,
                                              diff_scale=self._viz_diff_scale())
             self.iter_cnt += 1
-            return self._orient_flow(np.asarray(flow, dtype=np.float32))
+            arr = np.asarray(flow, dtype=np.float32)
+            if box is not None:
+                # reconstruct the full frame around the fetched ROI box —
+                # bitwise identical to a full fetch: the solve writes exact
+                # +0.0 outside the {0,1} mask (pyramid.py::solve_pyramid)
+                full = np.zeros((2,) + tuple(self.orig_image_shape),
+                                np.float32)
+                full[:, box[0]:box[1], box[2]:box[3]] = arr
+                arr = full
+            return self._orient_flow(arr)
 
         self.dispatch_cnt += 1
         handle = EstimationHandle(finalize)
-        # the UNORIENTED device-resident flow: render_bundle reuses it so
-        # the visualization program needs no host flow re-upload
-        handle.device_flow = flow
+        # the UNORIENTED device-resident FULL-frame flow: render_bundle and
+        # the error-pair program consume it on device (no host re-upload);
+        # ``flow`` itself may be the ROI-cropped fetch tensor
+        handle.device_flow = (aux["flow_device"] if isinstance(aux, dict)
+                              and "flow_device" in aux else flow)
         return handle
 
     def estimate(self, events, *args, **kwargs) -> np.ndarray:

@@ -314,7 +314,14 @@ def solve_pyramid(
         patch_flow = jnp.stack([jnp.sin(params[0]), jnp.cos(params[0])])
     else:
         patch_flow = params[:2]
-    dense_flow = patch_to_dense(patch_flow, grids[-1]) * mask_o
+    # select (not multiply) so outside-ROI pixels are exactly +0.0: the
+    # facade's cropped flow fetch (``facades.py``) reconstructs them with
+    # ``np.zeros`` on host, and ``x * 0.0`` would leave −0.0 where the
+    # unmasked interpolation is negative — breaking the reconstruction's
+    # bitwise-identity contract (values inside the mask are unchanged:
+    # the mask is {0,1} and ``x * 1.0`` was already exact)
+    dense_flow = jnp.where(mask_o != 0,
+                           patch_to_dense(patch_flow, grids[-1]), 0.0)
 
     aux = {
         "params_per_scale": params_per_scale,

@@ -99,7 +99,14 @@ class Timer:
             self.sections[name] = self.sections.get(name, 0.0) + (
                 time.perf_counter() - t0)
 
-    def report(self) -> str:
+    def report(self, n_frames: int | None = None,
+               wall_s: float | None = None) -> str:
+        """Render the accumulated sections, largest first.
+
+        With ``n_frames`` the values are printed per frame; with ``wall_s``
+        the percentages are shares of that wall-clock window (exposing
+        untimed gaps) instead of shares of the recorded-section sum.
+        """
         # Nested sections ("finalize/solve_wait") run inside their parent
         # ("finalize"), so summing every section would count that time
         # twice; the total only sums sections with no recorded ancestor.
@@ -108,9 +115,11 @@ class Timer:
             return any("/".join(parts[:i]) in self.sections
                        for i in range(1, len(parts)))
 
-        total = sum(v for k, v in self.sections.items()
-                    if not _has_parent(k)) or 1.0
-        lines = [f"{k}: {v:.3f}s ({100*v/total:.1f}%)"
+        total = wall_s or sum(v for k, v in self.sections.items()
+                              if not _has_parent(k)) or 1.0
+        div = n_frames or 1
+        unit = "s/frame" if n_frames else "s"
+        lines = [f"{k}: {v/div:.3f}{unit} ({100*v/total:.1f}%)"
                  for k, v in sorted(self.sections.items(),
                                     key=lambda kv: -kv[1])]
         return "\n".join(lines)

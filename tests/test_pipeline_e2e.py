@@ -123,6 +123,42 @@ def test_pipelined_loop_matches_synchronous(tiny_config, tmp_path):
                                       np.load(os.path.join(out_pipe, f)))
 
 
+def test_profile_reports_total_and_steady_sections(tiny_config, tmp_path):
+    """``profile: true`` logs the all-frames section table plus a
+    steady-state per-frame table that excludes the first two frames (where
+    compilation and the first execution land — the number that answers
+    "where does the steady time per frame go")."""
+    import re
+
+    cfg_path, _ = tiny_config
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["profile"] = True
+    cfg["pipeline"] = True
+    # enough frames that the steady window (frames 3+) records every
+    # pipeline stage, not just the closing finalize
+    cfg["data"]["duration"] = 0.4
+    cfg["evaluation"]["time_list"] = [[0.03, 0.4]]
+    out_prof = str(tmp_path / "out_prof")
+    cfg["output_dir"] = out_prof
+    p = tmp_path / "prof.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    # the CLI's logging setup replaces all handlers (force=True), so assert
+    # on the main.log it writes rather than on caplog
+    rc = cli.main(["--config_file", str(p), "--eval", "--log", "info"])
+    assert rc == 0
+    text = open(os.path.join(out_prof, "main.log")).read()
+    assert "Per-section host timings:" in text
+    m = re.search(r"Steady-state sections \(frames 3\+, n=(\d+), wall "
+                  r"([\d.]+) s/frame\)", text)
+    assert m, text
+    assert int(m.group(1)) >= 1
+    assert float(m.group(2)) > 0
+    # the steady table carries per-frame units and the loop's sections
+    steady_block = text[m.start():]
+    for section in ("finalize", "prepare", "estimate"):
+        assert re.search(rf"{section}: [\d.]+s/frame", steady_block), section
+
+
 def test_estimate_async_defers_finalization(tiny_config):
     """estimate_async returns before the host-side finalization: the frame
     counter only advances when the handle is resolved."""
