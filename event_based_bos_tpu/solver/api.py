@@ -56,6 +56,9 @@ _jit_flow_error_pair_device = programs.jit_flow_error_pair_device
 # probe-grade A/B escape (tools/throughput_probe.py --viz-ab): False forces
 # the legacy full-frame GT upload in render_bundle_async
 _GT_CROP_ENABLED = True
+# probe-grade A/B escape: False forces full-frame polar-plane fetches and
+# the unpacked bool event mask (round-5 bundle shrink, bitwise-identical)
+_BUNDLE_SHRINK_ENABLED = True
 
 
 class EstimationHandle:
@@ -439,8 +442,16 @@ class SolverBase(WireUploadMixin):
             # Farnebäck GT — error-text deltas ~1e-3 px, well inside the
             # ±0.02 px parity band; the program computes in f32 as before)
             gt = np.asarray(gt, self._fetch_dtype)
+        # bundle-shrink fetches (bitwise-reconstructed on host): the est
+        # polar planes crop to the solver's exact-zero ROI box — only safe
+        # for the device-resident solve flow, whose outside is exactly
+        # ±0.0 (pyramid.solve_pyramid) — and the bool mask ships bitpacked
+        est_box = (getattr(self, "_est_zero_box", None)
+                   if _BUNDLE_SHRINK_ENABLED and est_device is not None
+                   else None)
+        pack_mask = _BUNDLE_SHRINK_ENABLED
         out = programs.jit_render_bundle(self.orig_image_shape, err_crop,
-                                         gt_cropped)(
+                                         gt_cropped, est_box, pack_mask)(
             ev, est_in, jnp.asarray(gt),
             jnp.asarray(float(self.iwe_visualize_max_scale), jnp.float32),
             jnp.asarray(sc, jnp.float32),
@@ -451,9 +462,30 @@ class SolverBase(WireUploadMixin):
             except AttributeError:  # pragma: no cover - non-array leaf
                 pass
 
+        H, W = self.orig_image_shape
+
+        def _fill_polar(planes, box):
+            """Rebuild full-frame (ang_u8, magp_f16) from the box slice +
+            the program-computed outside constant — bitwise identical (the
+            constant ran the same elementwise arithmetic on the exact
+            outside value)."""
+            ang_c, mag_c, ang_k, mag_k = planes
+            x0, x1, y0, y1 = box
+            ang = np.full((H, W), ang_k.reshape(()), np.uint8)
+            mag = np.full((H, W), mag_k.reshape(()), np.float16)
+            ang[x0:x1, y0:y1] = ang_c
+            mag[x0:x1, y0:y1] = mag_c
+            return ang, mag
+
         def fetch() -> dict:
             host = jax.device_get(out)
             clipped, mask, poi_est, poi_gt, pol_est, pol_gt = host[:6]
+            if pack_mask:
+                mask = np.unpackbits(mask, axis=-1, count=W).astype(bool)
+            if est_box is not None:
+                pol_est = _fill_polar(pol_est, est_box)
+            if gt_cropped:
+                pol_gt = _fill_polar(pol_gt, err_crop)
             if self.padding > 0:
                 clipped = clipped[self.padding:-self.padding,
                                   self.padding:-self.padding]

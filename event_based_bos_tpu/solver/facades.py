@@ -297,6 +297,9 @@ class PatchEkltPyramid2(SolverBase):
         h_, w_ = self.spec.gen.image_size
         self._flow_fetch_box = ((x0, x1, y0, y1)
                                 if (x1 - x0) * (y1 - y0) < h_ * w_ else None)
+        # same exact-zero-outside guarantee feeds the render bundle's
+        # cropped polar-plane fetch (api.render_bundle_async)
+        self._est_zero_box = self._flow_fetch_box
         self._jitted = {}
         self._last_aux = None
 

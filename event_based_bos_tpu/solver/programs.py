@@ -96,7 +96,8 @@ def jit_flow_error(masked: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def jit_render_bundle(image_shape, err_crop=None, gt_cropped=False):
+def jit_render_bundle(image_shape, err_crop=None, gt_cropped=False,
+                      est_box=None, pack_mask=False):
     """All per-frame visualization device work in ONE program: clipped IWE,
     event mask, both Poisson-integration views, the HSV-polar planes of
     both flows, and (with ``err_crop``) both flow-error dicts (each extra
@@ -125,7 +126,21 @@ def jit_render_bundle(image_shape, err_crop=None, gt_cropped=False):
     Folding the error pair in (vs the standalone
     :func:`jit_flow_error_pair` dispatch) also drops the per-frame
     re-upload of the cropped pred/gt flows (~12 MB) the loop otherwise
-    pays — the bundle already holds both on device."""
+    pays — the bundle already holds both on device.
+
+    ``est_box`` / ``pack_mask`` (round 5, both bitwise-reconstructible —
+    the steady visualize loop is tunnel-byte-bound, `docs/performance.md`
+    §end-to-end): with ``est_box`` the estimated flow is exactly ±0.0
+    outside the solver's ROI box (``pyramid.solve_pyramid`` selects with
+    ``jnp.where``), so its polar planes are a *constant* there — the
+    program returns the box slice plus that constant computed by the same
+    arithmetic on a 1×1 zero flow (`(ang, magp, const_ang, const_magp)`),
+    and the caller fills the full frame on host.  ``gt_cropped`` gets the
+    same treatment automatically (the padded GT is +0.0 outside
+    ``err_crop``).  ``pack_mask`` ships the bool event mask as
+    ``jnp.packbits`` uint8 rows (8× fewer bytes; ``np.unpackbits`` on host
+    is exact).  Together they cut ~3.6 MB of the ~9 MB per-frame fetch at
+    the benchmark geometry."""
     from ..ops.image_warp import standardize_image_center
     from ..ops.poisson import poisson_integrate_flow
 
@@ -157,9 +172,23 @@ def jit_render_bundle(image_shape, err_crop=None, gt_cropped=False):
                                         (y0, image_shape[1] - y1)))
         else:
             gt_full = gt_flow
-        out = (clipped_iwe(ev, image_shape, max_scale), mask,
+        if est_box is not None:
+            ex0, ex1, ey0, ey1 = est_box
+            # the constant uses the SAME elementwise arithmetic on the
+            # exact outside value (+0.0 * est_scale), so signed-zero
+            # atan2 semantics carry over bit-for-bit
+            polar_est = (polar(est_scaled[:, ex0:ex1, ey0:ey1])
+                         + polar(jnp.zeros((2, 1, 1)) * est_scale))
+        else:
+            polar_est = polar(est_scaled)
+        if gt_cropped:
+            polar_gt = polar(gt_flow) + polar(jnp.zeros((2, 1, 1)))
+        else:
+            polar_gt = polar(gt_full)
+        out_mask = (jnp.packbits(mask, axis=-1) if pack_mask else mask)
+        out = (clipped_iwe(ev, image_shape, max_scale), out_mask,
                poisson_view(est_scaled), poisson_view(gt_full),
-               polar(est_scaled), polar(gt_full))
+               polar_est, polar_gt)
         if err_crop is not None:
             # the evaluation pair compares the UNSCALED oriented flow
             # (err_scale = sign, or 1/time-scale on the host-flow path)

@@ -688,6 +688,15 @@ def test_render_bundle_gt_crop_program_equivalence(scene):
         ev, jnp.asarray(est), jnp.asarray(gt), *args)
     cropped = programs.jit_render_bundle((H, W), crop, True)(
         ev, jnp.asarray(est), jnp.asarray(gt[:, x0:x1, y0:y1]), *args)
+    # gt_cropped also crops the GT polar-plane fetch (round-5 bundle
+    # shrink): rebuild the full planes from the box + the program-computed
+    # outside constant before comparing
+    ang_c, mag_c, ang_k, mag_k = cropped[5]
+    ang = np.full((H, W), np.asarray(ang_k).reshape(()), np.uint8)
+    mag = np.full((H, W), np.asarray(mag_k).reshape(()), np.float16)
+    ang[x0:x1, y0:y1] = np.asarray(ang_c)
+    mag[x0:x1, y0:y1] = np.asarray(mag_c)
+    cropped = cropped[:5] + ((ang, mag),) + cropped[6:]
     flat_f, tree_f = jax.tree_util.tree_flatten(full)
     flat_c, tree_c = jax.tree_util.tree_flatten(cropped)
     assert tree_f == tree_c
@@ -711,9 +720,10 @@ def test_render_bundle_gt_crop_engages_only_on_zero_padded_gt(scene,
     seen = []
     real = programs.jit_render_bundle
 
-    def spy(image_shape, err_crop=None, gt_cropped=False):
+    def spy(image_shape, err_crop=None, gt_cropped=False, est_box=None,
+            pack_mask=False):
         seen.append(gt_cropped)
-        return real(image_shape, err_crop, gt_cropped)
+        return real(image_shape, err_crop, gt_cropped, est_box, pack_mask)
 
     monkeypatch.setattr(programs, "jit_render_bundle", spy)
     rng = np.random.default_rng(1)
@@ -732,6 +742,49 @@ def test_render_bundle_gt_crop_engages_only_on_zero_padded_gt(scene,
     solv.render_bundle(filtered, None, gt_padded,
                        est_device=handle.device_flow, est_scale=1.0)
     assert seen == [True, False, False]
+
+
+@pytest.mark.parametrize("convention", ["reference", "physical"])
+def test_render_bundle_shrink_bitwise_equivalence(scene, convention,
+                                                  monkeypatch):
+    """round-5 bundle shrink (the steady visualize loop is tunnel-byte-
+    bound): the ROI-cropped polar-plane fetch (outside pixels rebuilt from
+    the program-computed constant — ``physical`` exercises the −0.0
+    outside value from the sign fold) and the bitpacked event mask must
+    reconstruct BITWISE-equal full-frame artifacts vs the full fetch."""
+    from event_based_bos_tpu.solver import api as solver_api
+
+    I1, _, events = scene
+    cfg = TestApiFacade()._config("patch_eklt_pyramid2")
+    cfg["filter"]["parameters"] = {"xmin": 4, "xmax": H - 4,
+                                   "ymin": 8, "ymax": W - 8}
+    cfg["flow_convention"] = convention
+    solv = collections["patch_eklt_pyramid2"]((H, W), (H, W), {}, cfg, None)
+    filtered, _ = solv.preprocess(events)
+    handle = solv.estimate_async(filtered, None, frame=I1, background=I1)
+    handle.result()
+    assert solv._est_zero_box == (4, H - 4, 8, W - 8)
+    rng = np.random.default_rng(2)
+    crop = (0, H, 8, W - 8)
+    x0, x1, y0, y1 = crop
+    gt = np.zeros((2, H, W), np.float32)
+    gt[:, x0:x1, y0:y1] = rng.uniform(-1, 1, (2, x1 - x0, y1 - y0))
+    kwargs = dict(est_device=handle.device_flow, est_scale=1.3,
+                  err_crop=crop)
+    b_new = solv.render_bundle(filtered, None, gt, **kwargs)
+    monkeypatch.setattr(solver_api, "_BUNDLE_SHRINK_ENABLED", False)
+    b_old = solv.render_bundle(filtered, None, gt, **kwargs)
+    assert set(b_new) == set(b_old)
+    for k in b_old:
+        if k == "errors":
+            assert b_new[k] == b_old[k]
+            continue
+        a, b = b_new[k], b_old[k]
+        for p, q in zip(a if isinstance(a, tuple) else (a,),
+                        b if isinstance(b, tuple) else (b,)):
+            assert np.asarray(p).dtype == np.asarray(q).dtype, k
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(q), err_msg=k)
+    assert np.asarray(b_new["mask"]).dtype == bool
 
 
 @pytest.mark.parametrize("convention", ["reference", "physical"])

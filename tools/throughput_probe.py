@@ -96,6 +96,7 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
 
         cfg["solver"]["quantized_upload"] = "direct"
         solver_api._GT_CROP_ENABLED = False
+        solver_api._BUNDLE_SHRINK_ENABLED = False
     if seq_mesh:
         # single-chip sequential mesh: the segmented loop's built-in
         # one-step pipeline (produce t+1 ‖ device step t) on one lane
@@ -132,6 +133,7 @@ def run_once(pipeline: bool, n_frames: int, small: bool,
             from event_based_bos_tpu.solver import api as solver_api
 
             solver_api._GT_CROP_ENABLED = True
+            solver_api._BUNDLE_SHRINK_ENABLED = True
     assert rc == 0
     n_done = sum(1 for line in open(os.path.join(
         out, "run", "flow_error_per_frame_without_mask.txt")))
