@@ -303,6 +303,54 @@ class Visualizer:
             image.show()
         return image
 
+    def _save_image_deferred(self, render, file_prefix=None,
+                             fixed_file_name=None):
+        """Defer an artifact's *rendering* (not just its PNG encode) to the
+        writer thread: filename/stream bookkeeping stays synchronous so
+        counters and frame-index pinning are exact, while the pixel math
+        (colorization, masking, composites) runs off the evaluation loop's
+        critical path — on this one-core host the writer thread executes
+        inside the loop's otherwise-idle ``finalize/solve_wait`` window
+        (docs/performance.md §end-to-end steady profile).
+
+        ``render()`` must be self-contained (capture arrays by value, no
+        reads of mutable ``Visualizer`` state) and return a uint8 numpy
+        array (gray/RGB/RGBA) or a PIL image convertible to one.  Falls
+        back to the eager path when showing or not saving (callers then
+        need the returned image)."""
+        if self._show or not self._save:
+            return self._show_or_save_image(render(), file_prefix,
+                                            fixed_file_name)
+        if fixed_file_name is not None:
+            fname = os.path.join(self.save_dir, f"{fixed_file_name}.png")
+            stream = None
+        else:
+            fname = self.get_filename_from_prefix(file_prefix)
+            stream = ((file_prefix, self.prefixed_save_count[file_prefix])
+                      if file_prefix is not None
+                      and file_prefix in self._video_streams else None)
+
+        def _job(r=render, f=fname, s=stream):
+            import cv2
+
+            arr = r()
+            if not isinstance(arr, np.ndarray):
+                arr = np.asarray(arr.convert("RGB")
+                                 if getattr(arr, "mode", None)
+                                 not in (None, "L", "RGB", "RGBA") else arr)
+            if arr.ndim == 3:
+                arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR if arr.shape[2] == 3
+                                   else cv2.COLOR_RGBA2BGRA)
+            cv2.imwrite(f, arr)
+            if s is not None:
+                self._stream_frame(
+                    s[0], s[1],
+                    arr if arr.ndim == 2 or arr.shape[2] == 3
+                    else cv2.cvtColor(arr, cv2.COLOR_BGRA2BGR))
+
+        self._enqueue(_job)
+        return None
+
     # -- plain images -----------------------------------------------------------
     def visualize_image(self, image: Any, file_prefix: Optional[str] = None):
         arr = _to_numpy(image)
@@ -405,9 +453,22 @@ class Visualizer:
         flow_y = _to_numpy(flow_y) if flow_y is not None else None
         if save_flow and self._save:
             save_name = self.get_filename_from_prefix(file_prefix).replace("png", "npy")
-            np.save(save_name, np.stack([flow_x, flow_y], axis=0))
+            flow_arr = np.stack([flow_x, flow_y], axis=0)
+            # the ~7 MB f32 disk write rides the writer thread too
+            self._enqueue(lambda a=flow_arr, f=save_name: np.save(f, a))
             self.rollback_save_count(file_prefix)
         if polar is not None:
+            if not self._show and self._save:
+                # deferred render: value scaling + HSV→RGB on the writer
+                image = self._save_image_deferred(
+                    lambda p=polar: self.color_optical_flow_from_polar(*p)[0],
+                    file_prefix)
+                if visualize_color_wheel:
+                    self._save_image_deferred(
+                        lambda n=np.asarray(polar[1]).shape[0]:
+                        self._color_wheel(n),
+                        fixed_file_name="color_wheel")
+                return image
             rgb, _ = self.color_optical_flow_from_polar(*polar)
             wheel = self._color_wheel(rgb.shape[0])
         else:
@@ -434,6 +495,21 @@ class Visualizer:
             mg = float(np.asarray(polar_gt[1], np.float32).max())
             mm = max(mp, mg)
             mm = mm if mm > 0 else 1.0
+            if not self._show and self._save:
+                self._save_image_deferred(
+                    lambda p=polar_pred, m=mm:
+                    self.color_optical_flow_from_polar(*p, m)[0],
+                    pred_file_prefix)
+                self._save_image_deferred(
+                    lambda p=polar_gt, m=mm:
+                    self.color_optical_flow_from_polar(*p, m)[0],
+                    gt_file_prefix)
+                if visualize_color_wheel:
+                    self._save_image_deferred(
+                        lambda n=np.asarray(polar_pred[1]).shape[0]:
+                        self._color_wheel(n),
+                        fixed_file_name="color_wheel")
+                return
             rgb_p, _ = self.color_optical_flow_from_polar(*polar_pred, mm)
             rgb_g, _ = self.color_optical_flow_from_polar(*polar_gt, mm)
             wheel = self._color_wheel(rgb_p.shape[0])
@@ -490,9 +566,6 @@ class Visualizer:
         import cv2
         from PIL import Image
 
-        show, save = self._show, self._save
-        self._show = self._save = False
-        flow = _to_numpy(flow)
         if mask is None:
             from .ops.iwe import create_eventmask
             from .types import bucket_capacity, events_from_ndarray
@@ -501,6 +574,32 @@ class Visualizer:
             ev = events_from_ndarray(arr, capacity=bucket_capacity(len(arr)))
             mask = create_eventmask(ev, self._image_size)
         mask = np.asarray(mask)
+        if polar is not None and max_color_on_mask and (self._save
+                                                        and not self._show):
+            # fully deferred: morph + mask-multiply + colorize + composite
+            # all run on the writer thread (self-contained closure — no
+            # reads of toggling _show/_save state)
+            ang, magp = polar
+            fill = (255, 255, 255) if mask_color == "white" else (0, 0, 0)
+
+            def render(ang=np.asarray(ang), magp=np.asarray(magp),
+                       mask=mask, morph=mask_morph, fill=fill):
+                if morph:
+                    el = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3),
+                                                   (1, 1))
+                    mask = cv2.morphologyEx(mask.astype(np.uint8)[0],
+                                            cv2.MORPH_CLOSE,
+                                            el).astype(bool)[None]
+                rgb, _ = self.color_optical_flow_from_polar(
+                    ang, np.asarray(magp, np.float32) * mask[0])
+                pil_mask = Image.fromarray((~mask)[0]).convert("1")
+                solid = Image.new("RGB", (rgb.shape[1], rgb.shape[0]), fill)
+                return Image.composite(solid, Image.fromarray(rgb), pil_mask)
+
+            return self._save_image_deferred(render, file_prefix)
+        show, save = self._show, self._save
+        self._show = self._save = False
+        flow = _to_numpy(flow) if flow is not None else None
         if mask_morph:
             element = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3), (1, 1))
             mask = cv2.morphologyEx(mask.astype(np.uint8)[0], cv2.MORPH_CLOSE,
@@ -543,26 +642,34 @@ class Visualizer:
             blank = np.full(self._image_size, background_color if grayscale
                             else 255, np.uint8)
             return self._show_or_save_image(blank, file_prefix)
-        x = np.clip(ev[:, 0], 0, self._image_size[0] - 1).astype(np.int32)
-        y = np.clip(ev[:, 1], 0, self._image_size[1] - 1).astype(np.int32)
-        if grayscale:
-            if ignore_polarity:
-                pol = np.ones(len(ev))
+
+        def render(ev=ev):
+            x = np.clip(ev[:, 0], 0, self._image_size[0] - 1).astype(np.int32)
+            y = np.clip(ev[:, 1], 0, self._image_size[1] - 1).astype(np.int32)
+            if grayscale:
+                if ignore_polarity:
+                    pol = np.ones(len(ev))
+                else:
+                    pol = ev[:, 3] * 2 - 1 if ev[:, 3].min() == 0 else ev[:, 3]
+                # signed histogram via bincount over raveled indices — 4x
+                # faster than np.add.at at 2^21 events (99 vs 392 ms on
+                # this host), bit-identical output
+                h, w = self._image_size
+                image = np.bincount(x.astype(np.int64) * w + y,
+                                    weights=pol, minlength=h * w).reshape(h, w)
+                image = np.clip(image * 20 + background_color, 0,
+                                255).astype(np.uint8)
             else:
-                pol = ev[:, 3] * 2 - 1 if ev[:, 3].min() == 0 else ev[:, 3]
-            # signed histogram via bincount over raveled indices — 4x
-            # faster than np.add.at at 2^21 events (99 vs 392 ms on this
-            # host), bit-identical output
-            h, w = self._image_size
-            image = np.bincount(x.astype(np.int64) * w + y,
-                                weights=pol, minlength=h * w).reshape(h, w)
-            image = np.clip(image * 20 + background_color, 0, 255).astype(np.uint8)
-        else:
-            image = np.full(self._image_size + (3,), 255, np.uint8)
-            colors = np.where(ev[:, 3:4] > 0, np.array([[255, 0, 0]]),
-                              np.array([[0, 0, 255]])).astype(np.uint8)
-            image[x, y, :] = colors
-        return self._show_or_save_image(image, file_prefix)
+                image = np.full(self._image_size + (3,), 255, np.uint8)
+                colors = np.where(ev[:, 3:4] > 0, np.array([[255, 0, 0]]),
+                                  np.array([[0, 0, 255]])).astype(np.uint8)
+                image[x, y, :] = colors
+            return image
+
+        if self._save and not self._show:
+            # the ~0.1 s/frame histogram render rides the writer thread
+            return self._save_image_deferred(render, file_prefix)
+        return self._show_or_save_image(render(), file_prefix)
 
     # -- arrays ---------------------------------------------------------------------
     def save_array(self, array, file_prefix=None, new_prefix=False):
